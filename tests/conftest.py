@@ -1,0 +1,31 @@
+"""Pytest configuration.
+
+All unit tests run on CPU with 8 virtual XLA devices so that multi-chip
+sharding (jax.sharding.Mesh) is exercised without TPU hardware
+(SURVEY.md §4: multi-chip tests via xla_force_host_platform_device_count).
+"""
+
+import os
+
+# Must be set before jax initializes a backend. The environment may pin
+# JAX_PLATFORMS to a hardware plugin (e.g. "axon"); the explicit
+# jax.config.update below overrides it so tests always run on 8 virtual
+# CPU devices.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
