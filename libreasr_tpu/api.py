@@ -1,0 +1,170 @@
+"""High-level inference API: config -> model bundle -> transcribe.
+
+TPU-native equivalent of the reference's inference bootstrap
+(libreasr/lib/inference.py:18-51 + model_utils.py): builds the
+Transducer, binds decoder endpoints to parameters, jits the
+feature->encode->decode program once, and exposes `transcribe` /
+`transcribe_batch`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import parse_and_apply_config
+from .data.language import get_language
+from .models.decode import DecoderFns, greedy_decode
+from .models.lm import LM, LMConfig, init_lm
+from .models.transducer import Transducer, TransducerConfig, init_transducer
+from .ops.frontend import FrontendConfig, features_batch
+
+
+class ASRBundle:
+    """A loaded model + tokenizer + jitted decode programs."""
+
+    def __init__(
+        self,
+        conf: dict,
+        model: Transducer,
+        variables: Any,
+        lang,
+        lm: LM | None = None,
+        lm_variables: Any = None,
+    ):
+        self.conf = conf
+        self.model = model
+        self.variables = variables
+        self.lang = lang
+        self.lm = lm
+        self.lm_variables = lm_variables
+        self.cfg: TransducerConfig = model.cfg
+        self.frontend = FrontendConfig.from_config(conf)
+        self._jit_cache: dict = {}
+
+    # ---- construction ----------------------------------------------------
+
+    @classmethod
+    def from_config(
+        cls, conf: dict | None = None, *, lang_name: str = "", seed: int = 0
+    ) -> "ASRBundle":
+        conf = conf or parse_and_apply_config(inference=True, lang=lang_name)
+        cfg = TransducerConfig.from_config(conf)
+        model, variables = init_transducer(cfg, jax.random.PRNGKey(seed))
+        lang, vocab_sz = get_language(
+            model_file=conf.get("tokenizer", {}).get("model_file")
+            if conf.get("tokenizer", {}).get("use_bpe")
+            else None
+        )
+        lm = lm_vars = None
+        if conf.get("lm", {}).get("enable") and conf.get("lm", {}).get("path"):
+            lm_cfg = LMConfig.from_config(conf)
+            lm, lm_vars = init_lm(lm_cfg, jax.random.PRNGKey(seed + 1))
+        return cls(conf, model, variables, lang, lm, lm_vars)
+
+    # ---- decoder endpoint bindings ----------------------------------------
+
+    def decoder_fns(self, use_lm: bool = True) -> DecoderFns:
+        model, variables = self.model, self.variables
+
+        def predict_step(y, state):
+            return model.apply(
+                variables, y, state=state, method=Transducer.predict
+            )
+
+        def joint_step(h_pred, h_enc):
+            return model.apply(
+                variables, h_pred, h_enc, method=Transducer.joint_step
+            )
+
+        lm_step = lm_init_state = None
+        if use_lm and self.lm is not None:
+            lm, lm_vars = self.lm, self.lm_variables
+
+            def lm_step(y, state):
+                return lm.apply(lm_vars, y, state=state)
+
+            def lm_init_state(n):
+                c = lm.cfg
+                return tuple(
+                    (jnp.zeros((n, c.hidden_sz)), jnp.zeros((n, c.hidden_sz)))
+                    for _ in range(c.num_layers)
+                )
+
+        return DecoderFns(
+            predict_step=predict_step,
+            joint_step=joint_step,
+            lm_step=lm_step,
+            lm_init_state=lm_init_state,
+        )
+
+    def encode(self, feats, lengths, state=None):
+        return self.model.apply(
+            self.variables,
+            feats,
+            state=state,
+            lengths=lengths,
+            method=Transducer.encode,
+        )
+
+    # ---- end-to-end transcription ------------------------------------------
+
+    def _decode_program(self, use_lm: bool, max_iters: int, max_tokens: int):
+        key = ("decode", use_lm, max_iters, max_tokens)
+        if key not in self._jit_cache:
+            fns = self.decoder_fns(use_lm)
+
+            @jax.jit
+            def run(audio, sample_lengths):
+                feats, flens = features_batch(
+                    audio, sample_lengths, self.frontend
+                )
+                enc_out, _ = self.encode(feats, flens)
+                toks, tok_lens, metrics, _ = greedy_decode(
+                    fns,
+                    enc_out,
+                    flens,
+                    vocab_sz=self.cfg.vocab_sz,
+                    blank=self.cfg.blank,
+                    bos=self.cfg.bos,
+                    max_iters=max_iters,
+                    max_tokens=max_tokens,
+                )
+                return toks, tok_lens, metrics
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def transcribe_batch(
+        self,
+        audio: np.ndarray,
+        sample_lengths: np.ndarray,
+        *,
+        use_lm: bool = False,
+        max_iters: int = 3,
+        max_tokens: int = 256,
+    ):
+        """audio: [N, S] float32 pcm at cfg sr. Returns (texts, metrics)."""
+        run = self._decode_program(use_lm, max_iters, max_tokens)
+        toks, tok_lens, metrics = run(
+            jnp.asarray(audio), jnp.asarray(sample_lengths)
+        )
+        toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
+        texts = [
+            self.lang.denumericalize(list(toks[i, : tok_lens[i]]))
+            for i in range(len(toks))
+        ]
+        return texts, jax.tree_util.tree_map(np.asarray, metrics)
+
+    def transcribe(self, audio: np.ndarray, **kw):
+        """Single utterance [S] -> (text, metrics) (reference
+        Transducer.transcribe, models.py:365-367)."""
+        audio = np.asarray(audio, np.float32).reshape(1, -1)
+        texts, metrics = self.transcribe_batch(
+            audio, np.array([audio.shape[1]]), **kw
+        )
+        return texts[0], {k: v[0] for k, v in metrics.items()}

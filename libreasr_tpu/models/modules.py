@@ -1,0 +1,239 @@
+"""Neural network building blocks (flax.linen).
+
+TPU-native redesign of the reference's model layer
+(libreasr/lib/models.py, layers/custom_rnn.py): all stream/batch state is
+explicit functional carry; the joint network is expressed as a broadcast
+add of separately projected encoder/predictor terms so the [N,T,U,2H]
+concat from models.py:345-353 is never materialized.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import rnn as rnn_ops
+
+
+class RNNLayer(nn.Module):
+    """One recurrent layer with learnable initial state
+    (reference custom_rnn.py:75-82,112-117)."""
+
+    input_sz: int
+    hidden_sz: int
+    rnn_type: str = "LSTM"       # LSTM | GRU | NBRC | LN_LSTM
+    zoneout: float = 0.0
+    dropconnect: float = 0.0
+    compute_dtype: Any = None
+
+    def initial_state(self, params_scope_unused, batch: int):
+        """Expand the learnable h0 to a batch (called via .apply)."""
+        n_state = rnn_ops.CELLS[self.rnn_type][2]
+        h0 = self.get_variable("params", "h0")
+        return tuple(
+            jnp.broadcast_to(h0[i], (batch, self.hidden_sz)) for i in range(n_state)
+        )
+
+    @nn.compact
+    def __call__(self, x, state=None, lengths=None, train: bool = False):
+        scan_fn, init_fn, n_state = rnn_ops.CELLS[self.rnn_type]
+        cell_params = self.param(
+            "cell", lambda rng: init_fn(rng, self.input_sz, self.hidden_sz)
+        )
+        h0 = self.param(
+            "h0", nn.initializers.zeros, (n_state, 1, self.hidden_sz)
+        )
+        if state is None:
+            state = tuple(
+                jnp.broadcast_to(h0[i], (x.shape[0], self.hidden_sz))
+                for i in range(n_state)
+            )
+        rng = None
+        if train and (self.zoneout > 0 or self.dropconnect > 0):
+            rng = self.make_rng("dropout")
+        y, new_state = scan_fn(
+            x,
+            tuple(state),
+            cell_params,
+            lengths=lengths,
+            zoneout=self.zoneout,
+            dropconnect=self.dropconnect,
+            rng=rng,
+            training=train,
+            compute_dtype=self.compute_dtype,
+        )
+        return y, new_state
+
+
+class RNNStack(nn.Module):
+    """Multi-layer RNN stack: per-layer BatchNorm over features, optional
+    inter-layer time reduction and rezero residual
+    (reference CustomRNN.forward, custom_rnn.py:177-232)."""
+
+    input_sz: int
+    hidden_sz: int
+    num_layers: int
+    rnn_type: str = "LSTM"
+    layer_norm: bool = False
+    zoneout: float = 0.0
+    dropconnect: float = 0.0
+    reduction_indices: tuple = ()
+    reduction_factors: tuple = ()
+    rezero: bool = False
+    use_norm: bool = True
+    compute_dtype: Any = None
+
+    def _cell_type(self) -> str:
+        if self.rnn_type == "LSTM" and self.layer_norm:
+            return "LN_LSTM"
+        return self.rnn_type
+
+    @nn.compact
+    def __call__(self, x, state=None, lengths=None, train: bool = False):
+        residual = None
+        new_states = []
+        in_sz = self.input_sz
+        for i in range(self.num_layers):
+            if i in self.reduction_indices:
+                factor = self.reduction_factors[
+                    list(self.reduction_indices).index(i)
+                ]
+                x, lengths = rnn_ops.time_reduce(x, lengths, factor)
+            inp = x
+            layer = RNNLayer(
+                input_sz=in_sz,
+                hidden_sz=self.hidden_sz,
+                rnn_type=self._cell_type(),
+                zoneout=self.zoneout,
+                dropconnect=self.dropconnect,
+                compute_dtype=self.compute_dtype,
+                name=f"layer{i}",
+            )
+            x, st = layer(
+                x, state=None if state is None else state[i],
+                lengths=lengths, train=train,
+            )
+            if self.use_norm:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"norm{i}",
+                )(x)
+            if self.rezero and residual is not None and residual.shape == x.shape:
+                x = x + residual
+            residual = inp
+            new_states.append(st)
+            in_sz = self.hidden_sz
+        return x, tuple(new_states)
+
+
+class Encoder(nn.Module):
+    """Audio encoder: input LayerNorm -> RNN stack -> dropout -> proj
+    (reference Encoder, models.py:68-113)."""
+
+    feature_sz: int
+    hidden_sz: int
+    out_sz: int
+    num_layers: int = 6
+    dropout: float = 0.01
+    rnn_type: str = "LSTM"
+    layer_norm: bool = False
+    zoneout: float = 0.0
+    reduction_indices: tuple = ()
+    reduction_factors: tuple = ()
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, state=None, lengths=None, train: bool = False):
+        x = x.reshape(x.shape[0], x.shape[1], -1)
+        x = nn.LayerNorm(name="input_norm")(x)
+        x, state = RNNStack(
+            input_sz=self.feature_sz,
+            hidden_sz=self.hidden_sz,
+            num_layers=self.num_layers,
+            rnn_type=self.rnn_type,
+            layer_norm=self.layer_norm,
+            zoneout=self.zoneout,
+            reduction_indices=self.reduction_indices,
+            reduction_factors=self.reduction_factors,
+            compute_dtype=self.compute_dtype,
+            name="rnn_stack",
+        )(x, state=state, lengths=lengths, train=train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.hidden_sz != self.out_sz:
+            x = nn.Dense(self.out_sz, name="proj")(x)
+        return x, state
+
+
+class Predictor(nn.Module):
+    """Label predictor: embed -> ffn -> RNN stack -> dropout -> proj
+    (reference Predictor, models.py:143-187). blank embeddings are pinned
+    to zero (torch padding_idx semantics)."""
+
+    vocab_sz: int
+    embed_sz: int
+    hidden_sz: int
+    out_sz: int
+    num_layers: int = 2
+    dropout: float = 0.01
+    blank: int = 0
+    rnn_type: str = "NBRC"
+    layer_norm: bool = False
+    zoneout: float = 0.0
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, y, state=None, lengths=None, train: bool = False):
+        emb = nn.Embed(self.vocab_sz, self.embed_sz, name="embed")(y)
+        emb = jnp.where((y == self.blank)[..., None], 0.0, emb)
+        if self.embed_sz != self.hidden_sz:
+            emb = nn.Dense(self.hidden_sz, name="ffn")(emb)
+        x, state = RNNStack(
+            input_sz=self.hidden_sz,
+            hidden_sz=self.hidden_sz,
+            num_layers=self.num_layers,
+            rnn_type=self.rnn_type,
+            layer_norm=self.layer_norm,
+            zoneout=self.zoneout,
+            compute_dtype=self.compute_dtype,
+            name="rnn_stack",
+        )(x=emb, state=state, lengths=lengths, train=train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.hidden_sz != self.out_sz:
+            x = nn.Dense(self.out_sz, name="proj")(x)
+        return x, state
+
+
+class Joint(nn.Module):
+    """Joint network (reference Joint, models.py:116-140).
+
+    ``concat`` is decomposed as two projections with a broadcast add:
+    tanh(h_pred @ W_p + h_enc @ W_e + b) @ W_out — algebraically equal to
+    Linear(cat(h_pred, h_enc)) but never materializes the [.., 2H] concat
+    across the [N,T,U] lattice (the reference's memory hot spot,
+    models.py:345-353).
+    """
+
+    out_sz: int
+    joint_sz: int
+    vocab_sz: int
+    method: str = "concat"
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, h_pred, h_enc):
+        dt = self.compute_dtype
+        if self.method == "concat":
+            a = nn.Dense(self.joint_sz, dtype=dt, name="pred_proj")(h_pred)
+            b = nn.Dense(self.joint_sz, use_bias=False, dtype=dt, name="enc_proj")(h_enc)
+            x = a + b
+        elif self.method == "add":
+            x = nn.Dense(self.joint_sz, dtype=dt, name="pred_proj")(h_pred + h_enc)
+        else:
+            raise ValueError(f"no such joint method: {self.method}")
+        x = jnp.tanh(x)
+        return nn.Dense(self.vocab_sz, dtype=dt, name="out")(x)

@@ -1,0 +1,121 @@
+"""Transducer model tests: lattice shapes, state carry equivalence
+(streaming == full-sequence), BatchNorm mutation, dropout rng."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from libreasr_tpu.models.transducer import Transducer, TransducerConfig, init_transducer
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = TransducerConfig(
+        feature_sz=12,
+        embed_sz=8,
+        vocab_sz=16,
+        hidden_sz=10,
+        out_sz=10,
+        joint_sz=10,
+        enc_num_layers=2,
+        pred_num_layers=1,
+    )
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    return cfg, model, variables
+
+
+def test_lattice_shape(tiny, rng):
+    cfg, model, variables = tiny
+    n, t, u = 2, 9, 5
+    x = jnp.asarray(rng.standard_normal((n, t, cfg.feature_sz)).astype(np.float32))
+    y = jnp.asarray(rng.integers(1, cfg.vocab_sz, (n, u)).astype(np.int32))
+    logits, _ = model.apply(
+        variables, x, y, jnp.array([t, t - 3]), jnp.array([u, u - 2])
+    )
+    assert logits.shape == (n, t, u + 1, cfg.vocab_sz)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_streaming_encode_matches_full(tiny, rng):
+    """Chunked encode with carried state == full-sequence encode — the
+    property the whole streaming runtime depends on (reference keeps the
+    same invariant through `state=`, models.py:105-113)."""
+    cfg, model, variables = tiny
+    t = 12
+    x = jnp.asarray(rng.standard_normal((1, t, cfg.feature_sz)).astype(np.float32))
+    full, _ = model.apply(variables, x, method=Transducer.encode)
+    state = None
+    outs = []
+    for i in range(0, t, 4):
+        out, state = model.apply(
+            variables, x[:, i : i + 4], state=state, method=Transducer.encode
+        )
+        outs.append(out)
+    chunked = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(chunked), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_predictor_step_matches_sequence(tiny, rng):
+    """One-token steps with carried state == whole-sequence predictor."""
+    cfg, model, variables = tiny
+    y = jnp.asarray(rng.integers(1, cfg.vocab_sz, (1, 6)).astype(np.int32))
+    full, _ = model.apply(variables, y, method=Transducer.predict)
+    state = None
+    outs = []
+    for i in range(6):
+        out, state = model.apply(
+            variables, y[:, i : i + 1], state=state, method=Transducer.predict
+        )
+        outs.append(out)
+    stepped = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(stepped), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_train_mode_mutates_batch_stats(tiny, rng):
+    cfg, model, variables = tiny
+    n, t, u = 2, 6, 3
+    x = jnp.asarray(rng.standard_normal((n, t, cfg.feature_sz)).astype(np.float32))
+    y = jnp.asarray(rng.integers(1, cfg.vocab_sz, (n, u)).astype(np.int32))
+    logits, updates = model.apply(
+        variables,
+        x, y, jnp.array([t, t]), jnp.array([u, u]),
+        train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    out, _ = logits
+    assert out.shape == (n, t, u + 1, cfg.vocab_sz)
+    # running stats moved away from init
+    flat = jax.tree_util.tree_leaves(updates["batch_stats"])
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in flat)
+
+
+def test_joint_broadcast_equals_concat(tiny, rng):
+    """pred_proj/enc_proj broadcast-add == Linear(cat(pred, enc))."""
+    cfg, model, variables = tiny
+    h_pred = jnp.asarray(rng.standard_normal((3, cfg.out_sz)).astype(np.float32))
+    h_enc = jnp.asarray(rng.standard_normal((3, cfg.out_sz)).astype(np.float32))
+    got = model.apply(variables, h_pred, h_enc, method=Transducer.joint_step)
+    jp = variables["params"]["joint"]
+    w = np.concatenate(
+        [np.asarray(jp["pred_proj"]["kernel"]), np.asarray(jp["enc_proj"]["kernel"])]
+    )
+    cat = np.concatenate([np.asarray(h_pred), np.asarray(h_enc)], -1)
+    hidden = np.tanh(cat @ w + np.asarray(jp["pred_proj"]["bias"]))
+    want = hidden @ np.asarray(jp["out"]["kernel"]) + np.asarray(jp["out"]["bias"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_bos_token_override(tiny, rng):
+    cfg, model, variables = tiny
+    n, t, u = 2, 5, 3
+    x = jnp.asarray(rng.standard_normal((n, t, cfg.feature_sz)).astype(np.float32))
+    y = jnp.asarray(rng.integers(1, cfg.vocab_sz, (n, u)).astype(np.int32))
+    l1, _ = model.apply(variables, x, y)
+    l2, _ = model.apply(variables, x, y, bos_tokens=jnp.full((n, 1), 5, jnp.int32))
+    assert (np.asarray(l1) != np.asarray(l2)).any()
