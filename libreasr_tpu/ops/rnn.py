@@ -75,8 +75,10 @@ def init_gru(rng, input_sz: int, hidden_sz: int):
     k1, k2 = jax.random.split(rng)
     kernel = jax.nn.initializers.xavier_uniform()(k1, (input_sz, 3 * hidden_sz))
     rkernel = jax.nn.initializers.xavier_uniform()(k2, (hidden_sz, 3 * hidden_sz))
-    z = jnp.zeros(3 * hidden_sz)
-    return GRUParams(kernel, rkernel, z, z)
+    # two distinct buffers — aliased leaves break train-state donation
+    return GRUParams(
+        kernel, rkernel, jnp.zeros(3 * hidden_sz), jnp.zeros(3 * hidden_sz)
+    )
 
 
 def init_layernorm_lstm(rng, input_sz: int, hidden_sz: int, forget_bias: float = 1.0):

@@ -1,0 +1,285 @@
+"""Training: functional train step + Learner driver.
+
+TPU-native redesign of the reference's fastai Learner assembly
+(libreasr/lib/learner.py:172-267):
+- the train step is one jitted program: device frontend (SpecAugment
+  included) -> lattice forward -> RNN-T loss -> grads -> optimizer, DP/TP
+  sharded over the mesh;
+- gradient accumulation is optax.MultiSteps (reference
+  GradAccumCallback, learner.py:51-65);
+- NaN handling: non-finite logits are zeroed before the loss (reference
+  loss.py:99-105) and a `finite` flag is reported so the driver can skip
+  bad steps (reference TerminateOnNaNCallback);
+- the cross-batch RNN state / BOS caches (custom_rnn.py:144-158,
+  models.py:287-306) are an explicit `carry` pytree threaded through the
+  step — with prob `use_tmp_state_pcent` the previous batch's final
+  states seed the next batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.transducer import Transducer, TransducerConfig
+from ..ops.frontend import FrontendConfig, features_batch
+from ..ops.rnnt_loss import rnnt_loss
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: optax.OptState
+
+
+class BatchCarry(NamedTuple):
+    """Cross-batch caches, one per bucket shape (host-managed)."""
+
+    enc_state: Any
+    pred_state: Any
+    bos: jax.Array       # [N, 1] last labels of the previous batch
+    valid: jax.Array     # scalar bool — carry has been filled once
+
+
+class Batch(NamedTuple):
+    audio: jax.Array       # [N, S] padded pcm (or features if raw=False)
+    audio_len: jax.Array   # [N]
+    labels: jax.Array      # [N, U]
+    label_len: jax.Array   # [N]
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    zero_nan: bool = True
+    div_by_len: bool = False
+    keep_best_pcent: float = -0.75
+
+    @classmethod
+    def from_config(cls, conf):
+        l = conf.get("loss", {}) or {}
+        return cls(
+            zero_nan=l.get("zero_nan", True),
+            div_by_len=l.get("div_by_len", False),
+            keep_best_pcent=l.get("keep_best_pcent", -0.75),
+        )
+
+
+def _learnable_states(params, tower: str, batch: int, n_layers: int):
+    """Broadcast the learnable per-layer h0 params to a batch
+    (reference custom_rnn.py:112-117)."""
+    stack = params[tower]["rnn_stack"]
+    states = []
+    for i in range(n_layers):
+        h0 = stack[f"layer{i}"]["h0"]  # [n_state, 1, H]
+        states.append(
+            tuple(
+                jnp.broadcast_to(h0[j], (batch, h0.shape[-1]))
+                for j in range(h0.shape[0])
+            )
+        )
+    return tuple(states)
+
+
+def init_carry(cfg: TransducerConfig, batch: int) -> BatchCarry:
+    def zeros_tower(n_layers, n_state):
+        return tuple(
+            tuple(jnp.zeros((batch, cfg.hidden_sz)) for _ in range(n_state))
+            for _ in range(n_layers)
+        )
+
+    enc_n_state = 2 if cfg.enc_rnn_type in ("LSTM",) else 1
+    pred_n_state = 2 if cfg.pred_rnn_type in ("LSTM",) else 1
+    return BatchCarry(
+        enc_state=zeros_tower(cfg.enc_num_layers, enc_n_state),
+        pred_state=zeros_tower(cfg.pred_num_layers, pred_n_state),
+        bos=jnp.full((batch, 1), cfg.bos, jnp.int32),
+        valid=jnp.zeros([], bool),
+    )
+
+
+def make_train_step(
+    model: Transducer,
+    tx: optax.GradientTransformation,
+    frontend: FrontendConfig | None,
+    loss_cfg: LossConfig = LossConfig(),
+):
+    """Build the jitted train step.
+
+    If `frontend` is given, batches carry raw padded audio and feature
+    extraction + SpecAugment run on device inside the same program.
+    Returns step(state, carry, batch, rng) -> (state, carry, metrics).
+    """
+    cfg = model.cfg
+
+    def step(state: TrainState, carry: BatchCarry, batch: Batch, rng):
+        rng_aug, rng_drop, rng_state, rng_bos = jax.random.split(rng, 4)
+        if frontend is not None:
+            feats, flens = features_batch(
+                batch.audio, batch.audio_len, frontend, rng=rng_aug, augment=True
+            )
+        else:
+            feats, flens = batch.audio, batch.audio_len
+        n = feats.shape[0]
+        y, yl = batch.labels, batch.label_len
+
+        # --- cross-batch state carry (utsp) & tmp-BOS --------------------
+        use_state = carry.valid & (
+            jax.random.uniform(rng_state) < cfg.use_tmp_state_pcent
+        )
+
+        def pick(cache, learned):
+            return jax.tree_util.tree_map(
+                lambda c, l: jnp.where(use_state, c, l), cache, learned
+            )
+
+        enc_learned = _learnable_states(
+            state.params, "encoder", n, cfg.enc_num_layers
+        )
+        pred_learned = _learnable_states(
+            state.params, "predictor", n, cfg.pred_num_layers
+        )
+        enc_state0 = pick(carry.enc_state, enc_learned)
+        pred_state0 = pick(carry.pred_state, pred_learned)
+
+        use_bos = (
+            cfg.use_tmp_bos
+            & carry.valid
+            & (jax.random.uniform(rng_bos) < cfg.use_tmp_bos_pcent)
+        )
+        bos_tokens = jnp.where(
+            use_bos, carry.bos, jnp.full((n, 1), cfg.bos, jnp.int32)
+        )
+
+        flens_red = flens // max(cfg.reduction_factor, 1)
+
+        def loss_fn(params):
+            (logits, (enc_st, pred_st)), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats,
+                y,
+                flens,
+                yl,
+                bos_tokens=bos_tokens,
+                enc_state=enc_state0,
+                pred_state=pred_state0,
+                train=True,
+                rngs={"dropout": rng_drop},
+                mutable=["batch_stats"],
+            )
+            if loss_cfg.zero_nan:
+                logits = jnp.nan_to_num(logits, nan=0.0, posinf=0.0, neginf=0.0)
+            per_seq = rnnt_loss(logits, y, flens_red, yl)
+            if loss_cfg.div_by_len:
+                per_seq = per_seq / (yl.astype(per_seq.dtype) + 1e-5)
+            if 0.0 <= loss_cfg.keep_best_pcent < 1.0:
+                k = max(int(n * loss_cfg.keep_best_pcent), 1)
+                per_seq = jax.lax.top_k(per_seq, k)[0]
+            loss = per_seq.mean()
+            return loss, (updates["batch_stats"], enc_st, pred_st)
+
+        (loss, (new_bs, enc_st, pred_st)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        finite = jnp.isfinite(loss) & jnp.array(
+            jax.tree_util.tree_reduce(
+                lambda a, g: a & jnp.all(jnp.isfinite(g)), grads, True
+            )
+        )
+        # zero the whole update on non-finite steps (TerminateOnNaN analog)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # next-batch caches: final states + last labels (detached by
+        # construction — they are outputs, not differentiated)
+        last_idx = jnp.maximum(yl - 1, 0)
+        last_labels = jnp.take_along_axis(y, last_idx[:, None], axis=1)
+        new_carry = BatchCarry(
+            enc_state=enc_st,
+            pred_state=pred_st,
+            bos=last_labels.astype(jnp.int32),
+            valid=jnp.ones([], bool),
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "finite": finite,
+            "frames": flens.sum(),
+            "tokens": yl.sum(),
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_bs,
+            opt_state=opt_state,
+        )
+        return new_state, new_carry, metrics
+
+    return step
+
+
+def create_train_state(
+    model: Transducer, variables, tx: optax.GradientTransformation
+) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+class Learner:
+    """Host-side training driver: owns the jitted step, per-bucket
+    carries, and metric aggregation (fastai-Learner equivalent without
+    the callback machinery — callbacks live in training/callbacks.py)."""
+
+    def __init__(
+        self,
+        model: Transducer,
+        variables,
+        tx,
+        frontend: FrontendConfig | None = None,
+        loss_cfg: LossConfig = LossConfig(),
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.tx = tx
+        self.state = create_train_state(model, variables, tx)
+        self.frontend = frontend
+        self.mesh = mesh
+        self.carries: dict[int, BatchCarry] = {}
+        self._step_fn = jax.jit(
+            make_train_step(model, tx, frontend, loss_cfg), donate_argnums=(0,)
+        )
+        self._rng = jax.random.PRNGKey(seed)
+
+    def next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def step(self, batch: Batch):
+        n = batch.audio.shape[0]
+        carry = self.carries.get(n)
+        if carry is None:
+            carry = init_carry(self.model.cfg, n)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = Batch(*shard_batch(self.mesh, tuple(batch)))
+        self.state, carry, metrics = self._step_fn(
+            self.state, carry, batch, self.next_rng()
+        )
+        self.carries[n] = carry
+        return {k: np.asarray(v) for k, v in metrics.items()}
