@@ -1,0 +1,95 @@
+"""Benchmark: concurrent real-time streams per chip.
+
+Runs the flagship model (6-2-1024, vocab 2048 — the reference's english
+model shape) through the batched streaming engine and measures how many
+80 ms-cadence streams one chip sustains in real time.
+
+The reference serves 1 utterance per thread, 4 threads per CPU process
+(api-server.py:16,139) and publishes no RTF numbers; the north star in
+BASELINE.md is >=64 real-time streams/chip, so vs_baseline is reported
+against 64.
+
+Prints ONE JSON line:
+  {"metric": "realtime_streams_per_chip", "value": N, "unit": "streams",
+   "vs_baseline": N/64}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_bundle():
+    from libreasr_tpu.api import ASRBundle
+    from libreasr_tpu.config import apply_overrides, open_config
+
+    conf = open_config("config/base.yaml")
+    conf = apply_overrides(conf, ["inference"])
+    conf["lm"]["enable"] = False
+    conf["dtypes"]["compute"] = "bfloat16"
+    return ASRBundle.from_config(conf)
+
+
+def time_engine(bundle, n_streams: int, iters: int = 20) -> float:
+    """Median wall seconds per batched stream step (one 80 ms slide)."""
+    from libreasr_tpu.models.streaming import StreamingEngine
+
+    eng = StreamingEngine(bundle, n_streams=n_streams)
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal(
+        (n_streams, eng.scfg.n_buffer, eng.scfg.window_samples)
+    ).astype(np.float32) * 0.1
+    # warmup / compile
+    for _ in range(3):
+        toks, lens = eng.step_batch(w)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        toks, lens = eng.step_batch(w)
+        np.asarray(lens)  # block
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    import jax
+
+    chunk_s = 0.080
+    platform = jax.devices()[0].platform
+    candidates = [64, 128, 256, 512] if platform != "cpu" else [8]
+    bundle = build_bundle()
+
+    best = 0.0
+    details = {}
+    for n in candidates:
+        try:
+            t = time_engine(bundle, n)
+        except Exception as e:  # OOM etc.
+            print(f"# n={n} failed: {e}", file=sys.stderr)
+            break
+        sustained = n * chunk_s / t
+        details[n] = {"step_ms": t * 1000.0, "sustained": sustained}
+        print(
+            f"# n={n}: step {t*1000:.1f} ms -> {sustained:.0f} realtime streams",
+            file=sys.stderr,
+        )
+        best = max(best, sustained)
+        if t > chunk_s * 4:  # far past real time, stop sweeping
+            break
+
+    print(
+        json.dumps(
+            {
+                "metric": "realtime_streams_per_chip",
+                "value": round(best, 1),
+                "unit": "streams",
+                "vs_baseline": round(best / 64.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

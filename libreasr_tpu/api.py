@@ -68,8 +68,16 @@ class ASRBundle:
 
     # ---- decoder endpoint bindings ----------------------------------------
 
-    def decoder_fns(self, use_lm: bool = True) -> DecoderFns:
-        model, variables = self.model, self.variables
+    def decoder_fns(
+        self, use_lm: bool = True, variables=None, lm_variables=None
+    ) -> DecoderFns:
+        """Bind decode endpoints to parameters.
+
+        Pass `variables` explicitly inside a jitted program so params are
+        traced arguments, not baked-in constants (which bloat the HLO).
+        """
+        model = self.model
+        variables = self.variables if variables is None else variables
 
         def predict_step(y, state):
             return model.apply(
@@ -83,7 +91,8 @@ class ASRBundle:
 
         lm_step = lm_init_state = None
         if use_lm and self.lm is not None:
-            lm, lm_vars = self.lm, self.lm_variables
+            lm = self.lm
+            lm_vars = self.lm_variables if lm_variables is None else lm_variables
 
             def lm_step(y, state):
                 return lm.apply(lm_vars, y, state=state)
@@ -102,9 +111,9 @@ class ASRBundle:
             lm_init_state=lm_init_state,
         )
 
-    def encode(self, feats, lengths, state=None):
+    def encode(self, feats, lengths, state=None, variables=None):
         return self.model.apply(
-            self.variables,
+            self.variables if variables is None else variables,
             feats,
             state=state,
             lengths=lengths,
@@ -116,14 +125,16 @@ class ASRBundle:
     def _decode_program(self, use_lm: bool, max_iters: int, max_tokens: int):
         key = ("decode", use_lm, max_iters, max_tokens)
         if key not in self._jit_cache:
-            fns = self.decoder_fns(use_lm)
 
             @jax.jit
-            def run(audio, sample_lengths):
+            def run(variables, lm_variables, audio, sample_lengths):
+                fns = self.decoder_fns(
+                    use_lm, variables=variables, lm_variables=lm_variables
+                )
                 feats, flens = features_batch(
                     audio, sample_lengths, self.frontend
                 )
-                enc_out, _ = self.encode(feats, flens)
+                enc_out, _ = self.encode(feats, flens, variables=variables)
                 toks, tok_lens, metrics, _ = greedy_decode(
                     fns,
                     enc_out,
@@ -151,7 +162,10 @@ class ASRBundle:
         """audio: [N, S] float32 pcm at cfg sr. Returns (texts, metrics)."""
         run = self._decode_program(use_lm, max_iters, max_tokens)
         toks, tok_lens, metrics = run(
-            jnp.asarray(audio), jnp.asarray(sample_lengths)
+            self.variables,
+            self.lm_variables if use_lm else None,
+            jnp.asarray(audio),
+            jnp.asarray(sample_lengths),
         )
         toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
         texts = [

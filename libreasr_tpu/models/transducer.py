@@ -176,6 +176,23 @@ class Transducer(nn.Module):
         return self.joint(h_pred, h_enc)
 
 
+def learnable_states(params, tower: str, batch: int, n_layers: int):
+    """Broadcast a tower's learnable per-layer h0 params to a batch —
+    the initial state the model uses when `state=None`
+    (reference custom_rnn.py:112-117)."""
+    stack = params[tower]["rnn_stack"]
+    states = []
+    for i in range(n_layers):
+        h0 = stack[f"layer{i}"]["h0"]  # [n_state, 1, H]
+        states.append(
+            tuple(
+                jnp.broadcast_to(h0[j], (batch, h0.shape[-1]))
+                for j in range(h0.shape[0])
+            )
+        )
+    return tuple(states)
+
+
 def init_transducer(cfg: TransducerConfig, rng, t: int = 8, u: int = 4):
     """Initialize parameters with tiny dummy shapes."""
     model = Transducer(cfg)

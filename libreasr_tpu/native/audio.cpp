@@ -1,0 +1,499 @@
+// Host-side audio I/O: WAV reader, FLAC decoder, windowed-sinc resampler.
+//
+// TPU-native replacement for the reference's torchaudio/libsox C++ path
+// (reference transforms.py:68,100,143 uses torchaudio.load + Resample).
+// No external audio libraries exist in this image, so FLAC decoding is
+// implemented from the format spec (good enough for LibriSpeech-style
+// 16-bit files; validated against the STREAMINFO MD5 of the decoded PCM).
+//
+// C ABI (ctypes):
+//   int la_read_wav (const char* path, float** out, int64* n, int* sr, int* ch)
+//   int la_read_flac(const char* path, float** out, int64* n, int* sr, int* ch,
+//                    unsigned char md5[16])
+//   int la_resample (const float* in, int64 n, int sr_in, int sr_out,
+//                    float** out, int64* n_out)
+//   void la_free(float* p)
+// All return 0 on success, negative error codes otherwise. Multi-channel
+// output is interleaved.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+void la_free(float* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// WAV
+// ---------------------------------------------------------------------------
+
+int la_read_wav(const char* path, float** out, int64_t* n_out, int* sr_out,
+                int* ch_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  char riff[4], wave[4];
+  uint32_t riff_sz;
+  if (fread(riff, 1, 4, f) != 4 || fread(&riff_sz, 4, 1, f) != 1 ||
+      fread(wave, 1, 4, f) != 4 || memcmp(riff, "RIFF", 4) ||
+      memcmp(wave, "WAVE", 4)) {
+    fclose(f);
+    return -2;
+  }
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t sr = 0;
+  std::vector<uint8_t> data;
+  while (true) {
+    char id[4];
+    uint32_t sz;
+    if (fread(id, 1, 4, f) != 4 || fread(&sz, 4, 1, f) != 1) break;
+    if (!memcmp(id, "fmt ", 4)) {
+      uint8_t buf[40];
+      uint32_t take = sz < 40 ? sz : 40;
+      if (fread(buf, 1, take, f) != take) { fclose(f); return -3; }
+      if (sz > take) fseek(f, sz - take, SEEK_CUR);
+      fmt = buf[0] | (buf[1] << 8);
+      channels = buf[2] | (buf[3] << 8);
+      memcpy(&sr, buf + 4, 4);
+      bits = buf[14] | (buf[15] << 8);
+    } else if (!memcmp(id, "data", 4)) {
+      data.resize(sz);
+      if (fread(data.data(), 1, sz, f) != sz) { fclose(f); return -4; }
+    } else {
+      fseek(f, sz + (sz & 1), SEEK_CUR);
+    }
+  }
+  fclose(f);
+  if (data.empty() || channels == 0) return -5;
+  int64_t n;
+  float* buf;
+  if (fmt == 1 && bits == 16) {
+    n = (int64_t)data.size() / 2;
+    buf = (float*)malloc(n * sizeof(float));
+    const int16_t* s = (const int16_t*)data.data();
+    for (int64_t i = 0; i < n; i++) buf[i] = s[i] / 32768.0f;
+  } else if (fmt == 1 && bits == 32) {
+    n = (int64_t)data.size() / 4;
+    buf = (float*)malloc(n * sizeof(float));
+    const int32_t* s = (const int32_t*)data.data();
+    for (int64_t i = 0; i < n; i++) buf[i] = s[i] / 2147483648.0f;
+  } else if (fmt == 3 && bits == 32) {
+    n = (int64_t)data.size() / 4;
+    buf = (float*)malloc(n * sizeof(float));
+    memcpy(buf, data.data(), n * sizeof(float));
+  } else if (fmt == 1 && bits == 8) {
+    n = (int64_t)data.size();
+    buf = (float*)malloc(n * sizeof(float));
+    for (int64_t i = 0; i < n; i++) buf[i] = (data[i] - 128) / 128.0f;
+  } else {
+    return -6;
+  }
+  *out = buf;
+  *n_out = n / channels;  // frames
+  *sr_out = (int)sr;
+  *ch_out = channels;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// FLAC
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  size_t size;
+  size_t byte = 0;
+  int bit = 0;  // bits consumed in current byte (0..7)
+  bool fail = false;
+
+  bool eof() const { return byte >= size; }
+
+  uint32_t read_bits(int n) {  // n <= 32
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) {
+      if (byte >= size) { fail = true; return 0; }
+      v = (v << 1) | ((data[byte] >> (7 - bit)) & 1);
+      if (++bit == 8) { bit = 0; byte++; }
+    }
+    return v;
+  }
+
+  uint64_t read_bits64(int n) {
+    uint64_t v = 0;
+    if (n > 32) { v = read_bits(n - 32); n = 32; }
+    return (v << n) | read_bits(n);
+  }
+
+  int32_t read_signed(int n) {
+    uint32_t v = read_bits(n);
+    if (n == 0) return 0;
+    if (v & (1u << (n - 1))) return (int32_t)(v | (~0u << n));
+    return (int32_t)v;
+  }
+
+  uint32_t read_unary() {
+    uint32_t q = 0;
+    while (!fail) {
+      if (byte >= size) { fail = true; return 0; }
+      if ((data[byte] >> (7 - bit)) & 1) {
+        if (++bit == 8) { bit = 0; byte++; }
+        return q;
+      }
+      q++;
+      if (++bit == 8) { bit = 0; byte++; }
+    }
+    return 0;
+  }
+
+  void align() {
+    if (bit) { bit = 0; byte++; }
+  }
+};
+
+int64_t read_utf8_coded(BitReader& br) {
+  uint32_t b0 = br.read_bits(8);
+  if (b0 < 0x80) return b0;
+  int n = 0;
+  for (uint32_t m = 0x80; b0 & m; m >>= 1) n++;
+  if (n < 2 || n > 7) return -1;
+  int64_t v = b0 & (0x7F >> n);
+  for (int i = 1; i < n; i++) {
+    uint32_t b = br.read_bits(8);
+    if ((b & 0xC0) != 0x80) return -1;
+    v = (v << 6) | (b & 0x3F);
+  }
+  return v;
+}
+
+bool decode_residual(BitReader& br, int blocksize, int pred_order,
+                     std::vector<int64_t>& res) {
+  uint32_t method = br.read_bits(2);
+  if (method > 1) return false;
+  int plen = method == 0 ? 4 : 5;
+  uint32_t escape = method == 0 ? 15 : 31;
+  uint32_t po = br.read_bits(4);
+  uint32_t partitions = 1u << po;
+  int idx = 0;
+  for (uint32_t p = 0; p < partitions; p++) {
+    int count = blocksize >> po;
+    if (p == 0) count -= pred_order;
+    if (count < 0) return false;
+    uint32_t param = br.read_bits(plen);
+    if (param == escape) {
+      uint32_t raw = br.read_bits(5);
+      for (int i = 0; i < count; i++) res[pred_order + idx++] = br.read_signed(raw);
+    } else {
+      for (int i = 0; i < count; i++) {
+        uint64_t q = br.read_unary();
+        uint64_t r = param ? br.read_bits(param) : 0;
+        uint64_t u = (q << param) | r;
+        res[pred_order + idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+      }
+    }
+    if (br.fail) return false;
+  }
+  return true;
+}
+
+bool decode_subframe(BitReader& br, int blocksize, int bps,
+                     std::vector<int64_t>& out) {
+  if (br.read_bits(1) != 0) return false;  // padding
+  uint32_t type = br.read_bits(6);
+  int wasted = 0;
+  if (br.read_bits(1)) wasted = br.read_unary() + 1;
+  bps -= wasted;
+  out.assign(blocksize, 0);
+
+  if (type == 0) {  // CONSTANT
+    int64_t v = br.read_signed(bps);
+    for (int i = 0; i < blocksize; i++) out[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (int i = 0; i < blocksize; i++) out[i] = br.read_signed(bps);
+  } else if (type >= 8 && type <= 12) {  // FIXED
+    int order = type - 8;
+    for (int i = 0; i < order; i++) out[i] = br.read_signed(bps);
+    if (!decode_residual(br, blocksize, order, out)) return false;
+    for (int i = order; i < blocksize; i++) {
+      switch (order) {
+        case 0: break;
+        case 1: out[i] += out[i - 1]; break;
+        case 2: out[i] += 2 * out[i - 1] - out[i - 2]; break;
+        case 3: out[i] += 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3]; break;
+        case 4: out[i] += 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] - out[i - 4]; break;
+      }
+    }
+  } else if (type >= 32) {  // LPC
+    int order = (type & 31) + 1;
+    for (int i = 0; i < order; i++) out[i] = br.read_signed(bps);
+    uint32_t prec = br.read_bits(4);
+    if (prec == 15) return false;
+    prec += 1;
+    int shift = br.read_signed(5);
+    if (shift < 0) return false;
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; i++) coef[i] = br.read_signed(prec);
+    if (!decode_residual(br, blocksize, order, out)) return false;
+    for (int i = order; i < blocksize; i++) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; j++) acc += coef[j] * out[i - 1 - j];
+      out[i] += acc >> shift;
+    }
+  } else {
+    return false;
+  }
+  if (wasted)
+    for (int i = 0; i < blocksize; i++) out[i] <<= wasted;
+  return !br.fail;
+}
+
+}  // namespace
+
+int la_read_flac(const char* path, float** out, int64_t* n_out, int* sr_out,
+                 int* ch_out, unsigned char md5_out[16]) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> raw(fsize);
+  if (fread(raw.data(), 1, fsize, f) != (size_t)fsize) { fclose(f); return -2; }
+  fclose(f);
+  if (fsize < 42 || memcmp(raw.data(), "fLaC", 4)) return -3;
+
+  size_t pos = 4;
+  int sr = 0, channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool last = false;
+  while (!last && pos + 4 <= raw.size()) {
+    uint8_t hdr = raw[pos];
+    last = hdr & 0x80;
+    int type = hdr & 0x7F;
+    uint32_t len = (raw[pos + 1] << 16) | (raw[pos + 2] << 8) | raw[pos + 3];
+    pos += 4;
+    if (type == 0 && len >= 34) {  // STREAMINFO
+      const uint8_t* s = raw.data() + pos;
+      sr = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4);
+      channels = ((s[12] >> 1) & 0x7) + 1;
+      bps = (((s[12] & 1) << 4) | (s[13] >> 4)) + 1;
+      total_samples = ((uint64_t)(s[13] & 0xF) << 32) | ((uint64_t)s[14] << 24) |
+                      (s[15] << 16) | (s[16] << 8) | s[17];
+      if (md5_out) memcpy(md5_out, s + 18, 16);
+    }
+    pos += len;
+  }
+  if (!sr || !channels || bps < 4) return -4;
+
+  std::vector<std::vector<int64_t>> ch(channels);
+  std::vector<int64_t> pcm;  // interleaved
+  pcm.reserve(total_samples * channels);
+
+  BitReader br{raw.data(), raw.size()};
+  br.byte = pos;
+
+  while (br.byte + 2 < raw.size()) {
+    // frame sync
+    uint32_t sync = br.read_bits(14);
+    if (br.fail) break;
+    if (sync != 0x3FFE) return -5;
+    br.read_bits(1);  // reserved
+    br.read_bits(1);  // blocking strategy
+    uint32_t bs_code = br.read_bits(4);
+    uint32_t sr_code = br.read_bits(4);
+    uint32_t ch_code = br.read_bits(4);
+    uint32_t ss_code = br.read_bits(3);
+    br.read_bits(1);  // reserved
+    if (read_utf8_coded(br) < 0) return -6;
+
+    int blocksize;
+    switch (bs_code) {
+      case 1: blocksize = 192; break;
+      case 2: case 3: case 4: case 5:
+        blocksize = 576 << (bs_code - 2); break;
+      case 6: blocksize = br.read_bits(8) + 1; break;
+      case 7: blocksize = br.read_bits(16) + 1; break;
+      default: blocksize = 256 << (bs_code - 8); break;
+    }
+    if (sr_code == 12) br.read_bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.read_bits(16);
+
+    int frame_bps = bps;
+    switch (ss_code) {
+      case 1: frame_bps = 8; break;
+      case 2: frame_bps = 12; break;
+      case 4: frame_bps = 16; break;
+      case 5: frame_bps = 20; break;
+      case 6: frame_bps = 24; break;
+      case 7: frame_bps = 32; break;
+      default: break;  // 0 = from STREAMINFO
+    }
+    br.read_bits(8);  // CRC-8
+
+    int nch = channels;
+    if (ch_code <= 7) nch = ch_code + 1;
+    else nch = 2;
+    if (nch != channels) return -7;
+
+    for (int c = 0; c < nch; c++) {
+      int sub_bps = frame_bps;
+      if ((ch_code == 8 && c == 1) || (ch_code == 9 && c == 0) ||
+          (ch_code == 10 && c == 1))
+        sub_bps += 1;  // side channel
+      if (!decode_subframe(br, blocksize, sub_bps, ch[c])) return -8;
+    }
+    br.align();
+    br.read_bits(16);  // frame CRC-16
+
+    // inter-channel decorrelation
+    if (ch_code == 8) {  // left/side
+      for (int i = 0; i < blocksize; i++) ch[1][i] = ch[0][i] - ch[1][i];
+    } else if (ch_code == 9) {  // right/side
+      for (int i = 0; i < blocksize; i++) ch[0][i] = ch[1][i] + ch[0][i];
+    } else if (ch_code == 10) {  // mid/side
+      for (int i = 0; i < blocksize; i++) {
+        int64_t side = ch[1][i];
+        int64_t mid = (ch[0][i] << 1) | (side & 1);
+        ch[0][i] = (mid + side) >> 1;
+        ch[1][i] = (mid - side) >> 1;
+      }
+    }
+    for (int i = 0; i < blocksize; i++)
+      for (int c = 0; c < channels; c++) pcm.push_back(ch[c][i]);
+    if (total_samples && pcm.size() >= total_samples * channels) break;
+  }
+
+  int64_t frames = (int64_t)pcm.size() / channels;
+  float* buf = (float*)malloc(pcm.size() * sizeof(float));
+  float scale = 1.0f / (float)(1u << (bps - 1));
+  for (size_t i = 0; i < pcm.size(); i++) buf[i] = pcm[i] * scale;
+  *out = buf;
+  *n_out = frames;
+  *sr_out = sr;
+  *ch_out = channels;
+  return 0;
+}
+
+// raw int decode (for MD5 verification against STREAMINFO)
+int la_read_flac_int16(const char* path, int16_t** out, int64_t* n_out,
+                       int* sr_out, int* ch_out, unsigned char md5_out[16]) {
+  float* fbuf;
+  int64_t n;
+  int sr, chn;
+  int rc = la_read_flac(path, &fbuf, &n, &sr, &chn, md5_out);
+  if (rc) return rc;
+  int16_t* buf = (int16_t*)malloc(n * chn * sizeof(int16_t));
+  for (int64_t i = 0; i < n * chn; i++) {
+    float v = fbuf[i] * 32768.0f;
+    buf[i] = (int16_t)(v < -32768 ? -32768 : (v > 32767 ? 32767 : v));
+  }
+  free(fbuf);
+  *out = buf;
+  *n_out = n;
+  *sr_out = sr;
+  *ch_out = chn;
+  return 0;
+}
+
+void la_free_i16(int16_t* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// Resampler: rational polyphase windowed-sinc (Kaiser-windowed), the same
+// family of filter torchaudio's Resample applies.
+// ---------------------------------------------------------------------------
+
+static int64_t gcd64(int64_t a, int64_t b) { while (b) { int64_t t = a % b; a = b; b = t; } return a; }
+
+static double bessel_i0(double x) {
+  double sum = 1.0, term = 1.0;
+  for (int k = 1; k < 32; k++) {
+    term *= (x / (2.0 * k)) * (x / (2.0 * k));
+    sum += term;
+    if (term < 1e-12 * sum) break;
+  }
+  return sum;
+}
+
+int la_resample(const float* in, int64_t n, int sr_in, int sr_out, float** out,
+                int64_t* n_out) {
+  if (sr_in == sr_out) {
+    float* buf = (float*)malloc(n * sizeof(float));
+    memcpy(buf, in, n * sizeof(float));
+    *out = buf;
+    *n_out = n;
+    return 0;
+  }
+  int64_t g = gcd64(sr_in, sr_out);
+  int64_t up = sr_out / g, down = sr_in / g;
+  // anti-alias lowpass cutoff in cycles per *input* sample
+  const double rolloff = 0.99;
+  double fc = 0.5 * rolloff * (up < down ? (double)up / (double)down : 1.0);
+  const int zeros = 24;  // half-width in sinc zero crossings
+  int taps = (int)ceil((double)zeros / (2.0 * fc));
+  const double beta = 14.77;  // Kaiser beta (~160 dB stopband)
+
+  // polyphase filters: phase p evaluates the windowed sinc at offsets
+  // (t - p/up) input samples, t in [-taps, taps]
+  std::vector<double> fil((size_t)up * (2 * taps + 1));
+  double i0b = bessel_i0(beta);
+  for (int64_t p = 0; p < up; p++) {
+    for (int t = -taps; t <= taps; t++) {
+      double xt = t - (double)p / up;
+      double arg = xt / taps;
+      double w = 0.0;
+      if (fabs(arg) <= 1.0) w = bessel_i0(beta * sqrt(1.0 - arg * arg)) / i0b;
+      double s = (fabs(xt) < 1e-12)
+                     ? 2.0 * fc
+                     : sin(2.0 * M_PI * fc * xt) / (M_PI * xt);
+      fil[(size_t)p * (2 * taps + 1) + (t + taps)] = s * w;
+    }
+  }
+
+  int64_t m = (n * up + down - 1) / down;
+  float* buf = (float*)malloc(m * sizeof(float));
+  for (int64_t j = 0; j < m; j++) {
+    int64_t num = j * down;
+    int64_t i0 = num / up;        // integer input index
+    int64_t p = num % up;         // phase
+    const double* h = &fil[(size_t)p * (2 * taps + 1)];
+    double acc = 0.0;
+    for (int t = -taps; t <= taps; t++) {
+      int64_t idx = i0 + t;
+      if (idx >= 0 && idx < n) acc += h[t + taps] * in[idx];
+    }
+    buf[j] = (float)acc;
+  }
+  *out = buf;
+  *n_out = m;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Levenshtein distance on int32 token arrays (reference uses the
+// `editdistance` C++ extension, metrics.py:6)
+// ---------------------------------------------------------------------------
+
+int64_t la_edit_distance(const int32_t* a, int64_t n, const int32_t* b,
+                         int64_t m) {
+  if (n == 0) return m;
+  if (m == 0) return n;
+  std::vector<int64_t> prev(m + 1), cur(m + 1);
+  for (int64_t j = 0; j <= m; j++) prev[j] = j;
+  for (int64_t i = 1; i <= n; i++) {
+    cur[0] = i;
+    for (int64_t j = 1; j <= m; j++) {
+      int64_t sub = prev[j - 1] + (a[i - 1] != b[j - 1]);
+      int64_t del = prev[j] + 1;
+      int64_t ins = cur[j - 1] + 1;
+      int64_t v = sub < del ? sub : del;
+      cur[j] = v < ins ? v : ins;
+    }
+    std::swap(prev, cur);
+  }
+  return prev[m];
+}
+
+}  // extern "C"

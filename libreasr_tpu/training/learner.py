@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.transducer import Transducer, TransducerConfig
+from ..models.transducer import Transducer, TransducerConfig, learnable_states
 from ..ops.frontend import FrontendConfig, features_batch
 from ..ops.rnnt_loss import rnnt_loss
 
@@ -70,20 +70,7 @@ class LossConfig:
         )
 
 
-def _learnable_states(params, tower: str, batch: int, n_layers: int):
-    """Broadcast the learnable per-layer h0 params to a batch
-    (reference custom_rnn.py:112-117)."""
-    stack = params[tower]["rnn_stack"]
-    states = []
-    for i in range(n_layers):
-        h0 = stack[f"layer{i}"]["h0"]  # [n_state, 1, H]
-        states.append(
-            tuple(
-                jnp.broadcast_to(h0[j], (batch, h0.shape[-1]))
-                for j in range(h0.shape[0])
-            )
-        )
-    return tuple(states)
+_learnable_states = learnable_states
 
 
 def init_carry(cfg: TransducerConfig, batch: int) -> BatchCarry:

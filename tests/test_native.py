@@ -1,0 +1,114 @@
+"""Native component tests: FLAC decode (MD5 self-check against
+STREAMINFO), WAV round-trip, resampler, edit distance, BPE train/encode/
+decode round-trips (C++ and Python fallback parity)."""
+
+import os
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from libreasr_tpu.data.audio import (
+    edit_distance, read_audio, resample, verify_flac_md5,
+)
+from libreasr_tpu.data.bpe import BPELanguage, _PyBPE, train_bpe
+from libreasr_tpu.native import audio_lib, bpe_lib
+
+DEMO = "/root/reference/demo/3729-6852-0035.flac"
+
+
+def test_native_libs_build():
+    assert audio_lib() is not None
+    assert bpe_lib() is not None
+
+
+def test_flac_decode_md5():
+    """The decoder's output must hash to the STREAMINFO MD5 — bit-exact
+    decode of the reference's golden fixture (api-client.py:13)."""
+    assert os.path.exists(DEMO)
+    assert verify_flac_md5(DEMO)
+    pcm, sr = read_audio(DEMO)
+    assert sr == 16000
+    assert pcm.shape[0] == 1
+    assert 20.0 < pcm.shape[1] / sr < 21.0
+    assert np.abs(pcm).max() <= 1.0
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "t.wav")
+    pcm = (rng.standard_normal(8000) * 0.2).clip(-1, 1).astype(np.float32)
+    ints = (pcm * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(ints.tobytes())
+    out, sr = read_audio(path)
+    assert sr == 16000
+    np.testing.assert_allclose(out[0], ints / 32768.0, atol=1e-4)
+
+
+def test_resample_preserves_tone():
+    t = np.arange(48000) / 48000
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample(x, 48000, 16000)
+    assert abs(len(y) - 16000) <= 2
+    # dominant frequency via FFT
+    spec = np.abs(np.fft.rfft(y[200:-200]))
+    freq = np.fft.rfftfreq(len(y[200:-200]), 1 / 16000)[spec.argmax()]
+    assert abs(freq - 440) < 5
+    # amplitude roughly preserved
+    assert 0.9 < np.abs(y[200:-200]).max() < 1.1
+
+
+def test_edit_distance():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance([1, 2, 3], [1, 3]) == 1
+    assert edit_distance("", "abc") == 3
+    assert edit_distance("abc", "abc") == 0
+
+
+@pytest.fixture(scope="module")
+def bpe_model(tmp_path_factory):
+    corpus = tmp_path_factory.mktemp("bpe") / "corpus.txt"
+    lines = [
+        "the quick brown fox jumps over the lazy dog",
+        "the dog barks at the quick fox",
+        "a lazy brown dog sleeps all day",
+        "quick quick quick the the the",
+    ] * 50
+    corpus.write_text("\n".join(lines))
+    model = str(tmp_path_factory.mktemp("bpe") / "model.labpe")
+    train_bpe(str(corpus), model, vocab_size=80)
+    return model
+
+
+def test_bpe_roundtrip(bpe_model):
+    lang = BPELanguage(bpe_model)
+    assert len(lang) <= 80
+    ids = lang.numericalize("the quick brown fox")
+    assert len(ids) > 0
+    assert all(i >= 4 for i in ids)  # no specials/unk for in-vocab text
+    assert lang.denumericalize(ids) == "the quick brown fox"
+
+
+def test_bpe_blank_ignored(bpe_model):
+    lang = BPELanguage(bpe_model)
+    ids = lang.numericalize("lazy dog")
+    assert lang.denumericalize([0] + ids + [0, 0]) == "lazy dog"
+
+
+def test_bpe_python_fallback_parity(bpe_model):
+    """The pure-Python encoder must agree with the C++ one."""
+    lang = BPELanguage(bpe_model)
+    py = _PyBPE(bpe_model)
+    for text in ["the quick brown fox", "lazy dog day", "barks at the dog"]:
+        assert lang.numericalize(text) == py.encode(text)
+        assert lang.denumericalize(py.encode(text)) == py.decode(py.encode(text))
+
+
+def test_bpe_merges_frequent_words(bpe_model):
+    lang = BPELanguage(bpe_model)
+    # "the" is the most frequent word: must encode to a single token
+    assert len(lang.numericalize("the")) == 1
