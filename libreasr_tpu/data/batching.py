@@ -1,0 +1,166 @@
+"""Bucketed batching: variable-length utterances -> static XLA shapes.
+
+The reference's DynamicBucketingDL packs arbitrary-size batches under
+frame/token caps (data.py:139-215) — free under eager torch, poison for
+XLA (every new shape recompiles). Here each batch snaps to a fixed
+bucket shape (max_samples, max_tokens, bs) from a ladder, so the whole
+run compiles a handful of programs:
+
+- utterances are binned by (audio samples, token count) into the
+  smallest bucket that fits;
+- within a bucket, a shuffled window is sorted by length before packing
+  (the reference's sortish semantics, data.py:71-112) to minimize pad
+  waste;
+- bs==1 batches are dropped (BatchNorm constraint, data.py:198).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from ..training.learner import Batch
+
+
+@dataclass(frozen=True)
+class Bucket:
+    max_samples: int   # padded audio samples
+    max_tokens: int    # padded label length
+    bs: int
+
+    @property
+    def key(self):
+        return (self.max_samples, self.max_tokens, self.bs)
+
+
+def buckets_from_config(conf: dict) -> list[Bucket]:
+    """Config buckets use x_max in *stacked encoder frames* (80 ms each);
+    convert to samples: frames * downsample * hop + window slack."""
+    sr = conf.get("sr", 16000)
+    hop = int(conf.get("hop_length", 0.01) * sr)
+    out = []
+    for b in conf.get("buckets", []) or []:
+        if "max_samples" in b:
+            samples = int(b["max_samples"])
+        else:
+            samples = int(b["x_max"]) * hop  # x_max mel frames
+        out.append(Bucket(samples, int(b["y_max"]), int(b["bs"])))
+    if not out:
+        out = [Bucket(int(conf.get("almaxs", 6.0) * sr), conf.get("y_max", 60) + 2,
+                      conf.get("bs", 8))]
+    return sorted(out, key=lambda b: b.max_samples)
+
+
+def pick_bucket(buckets: list[Bucket], n_samples: int, n_tokens: int):
+    for b in buckets:
+        if n_samples <= b.max_samples and n_tokens <= b.max_tokens:
+            return b
+    return None  # too long — dropped (limits should prevent this)
+
+
+class BucketBatcher:
+    """Groups pipeline items into fixed-shape Batches.
+
+    Items are dicts with `audio` [S] float32 and `ids` list[int].
+    """
+
+    def __init__(
+        self,
+        buckets: list[Bucket],
+        *,
+        shuffle: bool = True,
+        seed: int = 42,
+        window: int = 1024,
+        drop_last: bool = False,
+    ):
+        self.buckets = buckets
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.window = window
+        self.drop_last = drop_last
+
+    def _emit(self, bucket: Bucket, items: list[dict]) -> Batch:
+        n = len(items)
+        audio = np.zeros((n, bucket.max_samples), np.float32)
+        audio_len = np.zeros(n, np.int32)
+        labels = np.zeros((n, bucket.max_tokens), np.int32)
+        label_len = np.zeros(n, np.int32)
+        for i, it in enumerate(items):
+            a = np.asarray(it["audio"], np.float32)[: bucket.max_samples]
+            audio[i, : len(a)] = a
+            audio_len[i] = len(a)
+            ids = list(it["ids"])[: bucket.max_tokens]
+            labels[i, : len(ids)] = ids
+            label_len[i] = len(ids)
+        return Batch(audio, audio_len, labels, label_len)
+
+    def batches(self, items: Iterator[dict]) -> Iterator[Batch]:
+        pending: dict = {b.key: [] for b in self.buckets}
+        window: list[dict] = []
+
+        def flush_window():
+            w = window.copy()
+            window.clear()
+            if self.shuffle:
+                self.rng.shuffle(w)
+            w.sort(key=lambda it: len(it["audio"]))
+            for it in w:
+                b = pick_bucket(self.buckets, len(it["audio"]), len(it["ids"]))
+                if b is None:
+                    continue
+                pending[b.key].append(it)
+                if len(pending[b.key]) == b.bs:
+                    yield self._emit(b, pending[b.key])
+                    pending[b.key] = []
+
+        for it in items:
+            window.append(it)
+            if len(window) >= self.window:
+                yield from flush_window()
+        yield from flush_window()
+        if not self.drop_last:
+            for b in self.buckets:
+                rest = pending[b.key]
+                # drop bs==1 leftovers (BatchNorm needs n>1, data.py:198)
+                if len(rest) > 1:
+                    yield self._emit(b, rest)
+
+
+class ASRDataset:
+    """Builder + pipeline + batcher = iterable of Batches (the
+    ASRDatabunch equivalent, data.py:470)."""
+
+    def __init__(self, builder, pipeline, batcher):
+        self.builder = builder
+        self.pipeline = pipeline
+        self.batcher = batcher
+
+    def _items(self):
+        for i in range(len(self.builder)):
+            item = self.pipeline(self.builder.get(i))
+            if item.get("bad"):
+                continue
+            yield item
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self.batcher.batches(self._items())
+
+    @classmethod
+    def from_config(cls, conf: dict, lang, mode: str = "train"):
+        from .builder import ASRDatasetBuilder
+        from .transforms import Pipeline, parse_stages
+
+        builder = ASRDatasetBuilder.from_config(conf, mode)
+        tf = conf.get("transforms", {}) or {}
+        stages = parse_stages(tf.get("x", []), conf, lang) + parse_stages(
+            tf.get("y", []), conf, lang
+        )
+        pipeline = Pipeline(stages, training=mode == "train")
+        batcher = BucketBatcher(
+            buckets_from_config(conf),
+            shuffle=conf.get("shuffle", True) and mode == "train",
+            seed=conf.get("seed", 42),
+        )
+        return cls(builder, pipeline, batcher)
