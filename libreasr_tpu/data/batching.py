@@ -162,5 +162,6 @@ class ASRDataset:
             buckets_from_config(conf),
             shuffle=conf.get("shuffle", True) and mode == "train",
             seed=conf.get("seed", 42),
+            drop_last=conf.get("drop_last", False),
         )
         return cls(builder, pipeline, batcher)

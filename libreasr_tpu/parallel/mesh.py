@@ -80,6 +80,12 @@ def param_shardings(mesh: Mesh, tree):
     return jax.tree_util.tree_map_with_path(f, tree)
 
 
+def place_state(mesh: Mesh, state):
+    """Re-place a (restored) train-state pytree onto the mesh: wide
+    kernels TP-sharded, everything else replicated."""
+    return jax.device_put(state, param_shardings(mesh, state))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch onto the mesh, batch axis over "data"."""
     def f(x):

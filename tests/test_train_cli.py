@@ -1,0 +1,143 @@
+"""End-to-end training CLI test: synthetic corpus + tiny config ->
+train.py main() for a few steps -> checkpoint resume -> bundle export ->
+reload bundle and transcribe."""
+
+import os
+import sys
+import wave
+
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("c2")
+    spk = root / "s"
+    spk.mkdir()
+    rng = np.random.default_rng(1)
+    texts = ["yes", "no", "stop", "go", "up", "down", "left", "right"] * 2
+    with open(spk / "s.trans.txt", "w") as tf:
+        for i, t in enumerate(texts):
+            utt = f"s-{i:03d}"
+            pcm = (rng.standard_normal(12000) * 0.1).clip(-1, 1)
+            with wave.open(str(spk / f"{utt}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((pcm * 32767).astype(np.int16).tobytes())
+            tf.write(f"{utt} {t.upper()}\n")
+    from libreasr_tpu.data.create_dataset import create_dataset
+    from libreasr_tpu.data.split import split_dataset
+
+    create_dataset(str(root), "librispeech", workers=2)
+    split_dataset(str(root), valid=0.25, test=0.0)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tiny_conf(corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("conf")
+    conf = {
+        "datasets": ["mini"],
+        "dataset_paths": {"mini": corpus},
+        "apply_limits": False,
+        "pcent": {"train": 1.0, "valid": 1.0},
+        "shuffle_builder": {"train": True, "valid": False},
+        "sr": 16000,
+        "melkwargs": {"n_fft": 1024, "n_mels": 128},
+        "win_length": 0.025, "hop_length": 0.01, "deltas": 0,
+        "transforms": {
+            "x": [
+                {"name": "OpenAudio"}, {"name": "ChannelCut"},
+                {"name": "Resample"}, {"name": "PadderCutter"},
+            ],
+            "y": [
+                {"name": "OpenLabel"}, {"name": "Numericalize"},
+                {"name": "AddLen"},
+            ],
+        },
+        "buckets": [{"max_samples": 16000, "y_max": 12, "bs": 4}],
+        "mesh": {"data": -1, "model": 1},
+        "dtypes": {"param": "float32", "compute": "float32"},
+        "model": {
+            "name": "Transducer",
+            "feature_sz": 1280, "embed_sz": 8, "hidden_sz": 12,
+            "out_sz": 12, "joint_sz": 12, "vocab_sz": 40,
+            "encoder": {"rnn_type": "LSTM", "num_layers": 1, "dropout": 0.0,
+                        "reduction_factor": 1, "use_tmp_state_pcent": 0.5},
+            "predictor": {"rnn_type": "NBRC", "num_layers": 1, "dropout": 0.0,
+                          "use_tmp_state_pcent": 0.5},
+            "joint": {"method": "concat", "dropout": 0.0},
+            "use_tmp_bos": False, "use_tmp_bos_pcent": 0.2,
+        },
+        "training": {"optimizer": "adam", "lr": 1e-3, "wd": 0.0,
+                     "epochs": 1, "warmup_pct": 0.1, "grad_clip": 10.0},
+        "bs": 4, "accumulate_n_batches": 1, "seed": 3,
+        "tensorboard": False, "wandb": False, "tests_per_epoch": 1,
+        "lm": {"enable": False},
+        "tokenizer": {"model_file": str(d / "tok.labpe")},
+        "loss": {"type": "rnnt"},
+    }
+    path = d / "conf.yaml"
+    path.write_text(yaml.safe_dump(conf))
+    return str(path)
+
+
+def test_train_cli_runs_and_resumes(tiny_conf, tmp_path, capsys):
+    import train as train_cli
+
+    ckpt = str(tmp_path / "ckpt")
+    bundle_path = str(tmp_path / "bundle.tar.gz")
+    train_cli.main([
+        "--config", tiny_conf, "--steps", "3", "--ckpt", ckpt,
+        "--logdir", str(tmp_path / "runs"), "--eval-batches", "1",
+        "--bundle-out", bundle_path,
+    ])
+    out = capsys.readouterr().out
+    assert "[eval]" in out and "wer=" in out
+    assert os.path.isdir(ckpt)
+    assert os.path.exists(bundle_path)
+
+    # resume: step counter continues
+    train_cli.main([
+        "--config", tiny_conf, "--steps", "5", "--ckpt", ckpt,
+        "--logdir", str(tmp_path / "runs2"), "--eval-batches", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "resumed" in out
+
+
+def test_bundle_roundtrip(tiny_conf, tmp_path):
+    import jax
+
+    from libreasr_tpu.config import open_config
+    from libreasr_tpu.models.transducer import TransducerConfig, init_transducer
+    from libreasr_tpu.training.checkpoint import load_bundle, save_bundle
+
+    conf = open_config(tiny_conf)
+    cfg = TransducerConfig.from_config(conf)
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "b.tar.gz")
+    save_bundle(path, "en", variables, conf)
+    restored, tok, lm, conf2 = load_bundle(
+        path, "en", variables, extract_to=str(tmp_path / "x")
+    )
+    a = np.asarray(variables["params"]["joint"]["out"]["kernel"])
+    b = np.asarray(restored["params"]["joint"]["out"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+    assert conf2["model"]["hidden_sz"] == conf["model"]["hidden_sz"]
+
+
+def test_metrics():
+    from libreasr_tpu.training.metrics import cer, wer
+
+    assert wer("a b c", "a b c") == 0.0
+    assert wer("a x c", "a b c") == pytest.approx(1 / 3)
+    assert cer("abc", "abc") == 0.0
+    assert cer("axc", "abc") == pytest.approx(1 / 3)
+    assert cer("ab c", "abc") == 0.0  # spaces stripped
+    assert wer("", "a b") == 1.0

@@ -1,0 +1,188 @@
+"""Training CLI — the notebook-free equivalent of the reference's
+`make train` -> libreasr.ipynb loop (Makefile:1-4): builds everything
+from the YAML config, trains with periodic in-training eval, tracks
+best WER, checkpoints with optimizer state, and crash-resumes from the
+last checkpoint on restart.
+
+Usage:
+  python train.py --config config/base.yaml [--lang en] [--steps N]
+                  [--ckpt tmp/ckpt] [--mesh-model 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="config/base.yaml")
+    p.add_argument("--lang", default="")
+    p.add_argument("--steps", type=int, default=0, help="stop after N steps (0=epochs from config)")
+    p.add_argument("--ckpt", default="tmp/ckpt")
+    p.add_argument("--bundle-out", default="")
+    p.add_argument("--logdir", default="runs/libreasr")
+    p.add_argument("--mesh-model", type=int, default=0, help="override TP axis size")
+    p.add_argument("--eval-batches", type=int, default=16)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from libreasr_tpu.api import ASRBundle
+    from libreasr_tpu.config import parse_and_apply_config
+    from libreasr_tpu.data.batching import ASRDataset
+    from libreasr_tpu.data.builder import ASRDatasetBuilder
+    from libreasr_tpu.data.language import get_language
+    from libreasr_tpu.models.transducer import TransducerConfig, init_transducer
+    from libreasr_tpu.ops.frontend import FrontendConfig
+    from libreasr_tpu.parallel.mesh import mesh_from_config, param_shardings
+    from libreasr_tpu.training.callbacks import TrainLogger
+    from libreasr_tpu.training.checkpoint import (
+        restore_train_state, save_bundle, save_train_state,
+    )
+    from libreasr_tpu.training.evaluate import evaluate
+    from libreasr_tpu.training.learner import Learner, LossConfig
+    from libreasr_tpu.training.optimizers import build_optimizer, make_lr_schedule
+
+    conf = parse_and_apply_config(lang=args.lang, path=args.config)
+    if args.mesh_model:
+        conf.setdefault("mesh", {})["model"] = args.mesh_model
+    seed = conf.get("seed", 42)
+
+    # tokenizer / language
+    tok_file = (conf.get("tokenizer", {}) or {}).get("model_file")
+    if conf.get("train_tokenizer") and tok_file:
+        builder = ASRDatasetBuilder.from_config(conf, "train")
+        builder.train_tokenizer(tok_file, conf.get("wanted_vocab_sz", 2048))
+    use_bpe = bool(tok_file and os.path.exists(tok_file))
+    lang, vocab_sz = get_language(model_file=tok_file if use_bpe else None)
+    conf["model"]["vocab_sz"] = max(conf["model"]["vocab_sz"], vocab_sz)
+
+    # mesh first — batch shapes must divide the data axis
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = mesh_from_config(conf)
+        data_ax = mesh.shape["data"]
+        for b in conf.get("buckets", []) or []:
+            if b["bs"] % data_ax:
+                b["bs"] = -(-b["bs"] // data_ax) * data_ax
+                print(f"[train] bucket bs rounded to {b['bs']} (data axis {data_ax})")
+        conf["drop_last"] = True  # ragged leftovers don't shard
+        print(f"[train] mesh: {dict(mesh.shape)}")
+
+    # data
+    train_ds = ASRDataset.from_config(conf, lang, "train")
+    valid_conf = dict(conf)
+    valid_conf["drop_last"] = False  # eval runs unsharded
+    valid_ds = ASRDataset.from_config(valid_conf, lang, "valid")
+    print(f"[train] train={train_ds.builder.stats()} valid={len(valid_ds.builder)}")
+
+    # model + optimizer
+    cfg = TransducerConfig.from_config(conf)
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(seed))
+    if mesh is not None:
+        variables = jax.device_put(variables, param_shardings(mesh, variables))
+
+    tconf = conf.get("training", {})
+    schedule = make_lr_schedule(
+        {**tconf, "total_steps": args.steps or tconf.get("total_steps", 100_000)}
+    )
+    tx = build_optimizer(
+        tconf.get("optimizer", "ranger"),
+        schedule,
+        weight_decay=tconf.get("wd", 0.01),
+        grad_clip=tconf.get("grad_clip", 10.0),
+        accumulate=conf.get("accumulate_n_batches", 1),
+    )
+    learner = Learner(
+        model, variables, tx,
+        frontend=FrontendConfig.from_config(conf),
+        loss_cfg=LossConfig.from_config(conf),
+        mesh=mesh, seed=seed,
+    )
+
+    # crash-resume (reference Makefile:1-4 + ipynb cell 21 try/except)
+    start_step = 0
+    if os.path.isdir(args.ckpt):
+        try:
+            learner.state, _ = restore_train_state(args.ckpt, learner.state)
+            if mesh is not None:
+                from libreasr_tpu.parallel.mesh import place_state
+
+                learner.state = place_state(mesh, learner.state)
+            start_step = int(learner.state.step)
+            print(f"[train] resumed from {args.ckpt} at step {start_step}")
+        except Exception as e:
+            print(f"[train] resume failed ({e}); starting fresh")
+
+    # inference bundle view for eval (shares params via variables swap)
+    bundle = ASRBundle(conf, model, dict(variables), lang)
+    logger = TrainLogger(args.logdir, use_wandb=conf.get("wandb", False), conf=conf)
+
+    epochs = tconf.get("epochs", 20)
+    tests_per_epoch = conf.get("tests_per_epoch", 8)
+    step = start_step
+    t0 = time.time()
+    try:
+        for epoch in range(epochs):
+            batches = list(train_ds) if step == 0 else train_ds
+            eval_every = None
+            for bi, batch in enumerate(batches):
+                metrics = learner.step(batch)
+                step = int(learner.state.step)
+                logger.log_step(step, metrics, batch)
+                if bi == 0 and eval_every is None and hasattr(batches, "__len__"):
+                    eval_every = max(len(batches) // max(tests_per_epoch, 1), 1)
+                if eval_every and (bi + 1) % eval_every == 0:
+                    _run_eval(bundle, learner, valid_ds, logger, step,
+                              args.eval_batches, args.ckpt)
+                if args.steps and step >= args.steps:
+                    raise StopIteration
+            print(
+                f"[train] epoch {epoch} done step={step} "
+                f"loss={float(metrics['loss']):.3f} ({time.time()-t0:.0f}s)"
+            )
+            save_train_state(os.path.abspath(args.ckpt), learner.state)
+    except (StopIteration, KeyboardInterrupt):
+        pass
+
+    save_train_state(os.path.abspath(args.ckpt), learner.state)
+    result = _run_eval(bundle, learner, valid_ds, logger, step,
+                       args.eval_batches, args.ckpt)
+    if args.bundle_out:
+        save_bundle(
+            args.bundle_out, args.lang or "en",
+            {"params": learner.state.params, "batch_stats": learner.state.batch_stats},
+            conf, tokenizer_file=tok_file if use_bpe else None,
+        )
+        print(f"[train] bundle -> {args.bundle_out}")
+    logger.close()
+    print(f"[train] done: step={step} wer={result.wer:.3f} cer={result.cer:.3f}")
+
+
+def _run_eval(bundle, learner, valid_ds, logger, step, max_batches, ckpt):
+    from libreasr_tpu.training.checkpoint import save_train_state
+    from libreasr_tpu.training.evaluate import evaluate
+
+    variables = {
+        "params": learner.state.params,
+        "batch_stats": learner.state.batch_stats,
+    }
+    result = evaluate(bundle, iter(valid_ds), variables=variables,
+                      max_batches=max_batches)
+    improved = logger.log_eval(step, result)
+    print(
+        f"[eval] step={step} wer={result.wer:.3f} cer={result.cer:.3f} "
+        f"align={result.alignment_score:.2f} n={result.n}"
+        + (" *best*" if improved else "")
+    )
+    if improved:
+        save_train_state(os.path.abspath(ckpt) + "_best_wer", learner.state)
+    return result
+
+
+if __name__ == "__main__":
+    main()
