@@ -1,0 +1,126 @@
+"""gRPC model server (reference api-server.py).
+
+One process per language (ports en:50051 de:50052 fr:50053,
+api-server.py:17-21). Same RPCs, same wire format — but where the
+reference decodes one utterance per thread in Python loops, every
+streaming connection here is a slot in the batched StreamingEngine, so
+all live streams share one jitted device program.
+
+Usage: python -m libreasr_tpu.serving.server [--lang en] [--port 50051]
+"""
+
+from __future__ import annotations
+
+import argparse
+import threading
+from concurrent import futures
+
+import numpy as np
+
+from ..utils import tensorize
+from . import proto
+
+LANG_PORTS = {"en": 50051, "de": 50052, "fr": 50053}
+
+
+class ASRServicer:
+    """Implements ASR.ASR (reference ASRServicer, api-server.py:53-135)."""
+
+    def __init__(self, bundle, engine=None, max_streams: int = 64):
+        self.bundle = bundle
+        if engine is None:
+            from ..models.streaming import StreamingEngine
+
+            stream_conf = (bundle.conf.get("stream", {}) or {})
+            engine = StreamingEngine(
+                bundle, n_streams=stream_conf.get("max_streams", max_streams)
+            )
+        self.engine = engine
+        self._lock = threading.Lock()
+
+    # -- unary -------------------------------------------------------------
+
+    def Transcribe(self, request: proto.Audio, context=None) -> proto.Transcript:
+        pcm = tensorize(request.data)
+        if request.sr and request.sr != self.bundle.frontend.sr:
+            from ..data.audio import resample
+
+            pcm = resample(pcm, request.sr, self.bundle.frontend.sr)
+        text, _ = self.bundle.transcribe(pcm)
+        return proto.Transcript(data=text)
+
+    # -- streaming -----------------------------------------------------------
+
+    def TranscribeStream(self, request_iterator, context=None):
+        """80 ms wire chunks in -> transcript diffs out (api-server.py:82-135).
+        Duplicate-diff suppression matches the reference (:122-132)."""
+        with self._lock:
+            slot = self.engine.open_slot()
+        last = ""
+        try:
+            for msg in request_iterator:
+                pcm = tensorize(msg.data)
+                if msg.sr and msg.sr != self.bundle.frontend.sr:
+                    from ..data.audio import resample
+
+                    pcm = resample(pcm, msg.sr, self.bundle.frontend.sr)
+                with self._lock:
+                    new_text = self.engine.feed(slot, pcm)
+                if new_text and new_text != last:
+                    last = new_text
+                    yield proto.Transcript(data=new_text)
+        finally:
+            with self._lock:
+                self.engine.close_slot(slot)
+
+
+def make_server(bundle, port: int, workers: int = 4, engine=None):
+    """grpc server with hand-rolled method handlers (no generated stubs;
+    the image lacks grpc_tools)."""
+    import grpc
+
+    servicer = ASRServicer(bundle, engine=engine)
+    handlers = {
+        "Transcribe": grpc.unary_unary_rpc_method_handler(
+            servicer.Transcribe,
+            request_deserializer=proto.Audio.FromString,
+            response_serializer=proto.Transcript.SerializeToString,
+        ),
+        "TranscribeStream": grpc.stream_stream_rpc_method_handler(
+            servicer.TranscribeStream,
+            request_deserializer=proto.Audio.FromString,
+            response_serializer=proto.Transcript.SerializeToString,
+        ),
+    }
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=workers))
+    server.add_generic_rpc_handlers(
+        (grpc.method_handlers_generic_handler(proto.SERVICE, handlers),)
+    )
+    server.add_insecure_port(f"[::]:{port}")
+    return server, servicer
+
+
+def serve(lang: str = "en", port: int | None = None, config: str | None = None):
+    from ..api import ASRBundle
+    from ..config import parse_and_apply_config
+
+    conf = parse_and_apply_config(inference=True, lang=lang, path=config)
+    bundle = ASRBundle.from_config(conf, lang_name=lang)
+    port = port or LANG_PORTS.get(lang, 50051)
+    server, _ = make_server(bundle, port)
+    server.start()
+    print(f"[api-server] lang={lang} listening on :{port}")
+    server.wait_for_termination()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--lang", default="en")
+    p.add_argument("--port", type=int, default=None)
+    p.add_argument("--config", default=None)
+    a = p.parse_args(argv)
+    serve(a.lang, a.port, a.config)
+
+
+if __name__ == "__main__":
+    main()

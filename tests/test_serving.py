@@ -1,0 +1,215 @@
+"""Serving tests: protobuf wire parity (vs google.protobuf), live gRPC
+server e2e on the demo FLAC, WS bridge e2e through a real socket chain
+(ws client -> tornado bridge -> grpc server -> streaming engine)."""
+
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from libreasr_tpu.serving import proto
+
+
+# ---------------------------------------------------------------------------
+# wire parity against the official protobuf runtime
+# ---------------------------------------------------------------------------
+
+
+def _official_messages():
+    """Build Audio/Transcript dynamically with google.protobuf — an
+    independent encoder implementing the same .proto."""
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "libreasr_test.proto"
+    fdp.package = "ASR"
+    fdp.syntax = "proto3"
+    audio = fdp.message_type.add()
+    audio.name = "Audio"
+    f = audio.field.add()
+    f.name, f.number, f.type, f.label = "data", 1, 12, 1  # bytes
+    f = audio.field.add()
+    f.name, f.number, f.type, f.label = "sr", 3, 5, 1  # int32
+    tr = fdp.message_type.add()
+    tr.name = "Transcript"
+    f = tr.field.add()
+    f.name, f.number, f.type, f.label = "data", 1, 9, 1  # string
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(fdp)
+    audio_cls = message_factory.GetMessageClass(pool.FindMessageTypeByName("ASR.Audio"))
+    tr_cls = message_factory.GetMessageClass(pool.FindMessageTypeByName("ASR.Transcript"))
+    return audio_cls, tr_cls
+
+
+def test_audio_wire_parity():
+    audio_cls, _ = _official_messages()
+    payload = np.arange(10, dtype=np.float32).tobytes()
+    ours = proto.Audio(data=payload, sr=16000).SerializeToString()
+    official = audio_cls(data=payload, sr=16000).SerializeToString()
+    assert ours == official
+    back = proto.Audio.FromString(official)
+    assert back.data == payload and back.sr == 16000
+    # official decodes ours
+    m = audio_cls.FromString(ours)
+    assert m.data == payload and m.sr == 16000
+
+
+def test_transcript_wire_parity():
+    _, tr_cls = _official_messages()
+    ours = proto.Transcript(data="hello wörld").SerializeToString()
+    official = tr_cls(data="hello wörld").SerializeToString()
+    assert ours == official
+    assert proto.Transcript.FromString(official).data == "hello wörld"
+
+
+def test_empty_messages():
+    assert proto.Audio(data=b"", sr=0).SerializeToString() == b""
+    assert proto.Transcript.FromString(b"").data == ""
+
+
+# ---------------------------------------------------------------------------
+# live server e2e
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    from libreasr_tpu.api import ASRBundle
+    from libreasr_tpu.config import apply_overrides, open_config
+
+    conf = open_config("config/base.yaml")
+    conf = apply_overrides(conf, ["inference"])
+    conf["model"].update(
+        feature_sz=1280, embed_sz=8, hidden_sz=16, out_sz=16,
+        joint_sz=16, vocab_sz=40,
+    )
+    conf["model"]["encoder"]["num_layers"] = 1
+    conf["model"]["predictor"]["num_layers"] = 1
+    conf["lm"]["enable"] = False
+    conf["dtypes"]["compute"] = "float32"
+    return ASRBundle.from_config(conf)
+
+
+@pytest.fixture(scope="module")
+def live_server(bundle):
+    import socket
+
+    from libreasr_tpu.models.streaming import StreamingEngine
+    from libreasr_tpu.serving.server import make_server
+
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    engine = StreamingEngine(bundle, n_streams=4)
+    server, servicer = make_server(bundle, port, engine=engine)
+    server.start()
+    yield port
+    server.stop(0)
+
+
+def test_grpc_e2e_demo_flac(live_server):
+    """The api-client smoke test (reference api-client.py) against the
+    bundled golden fixture."""
+    from libreasr_tpu.serving.client import test_asr
+
+    unary_text, stream_text = test_asr(port=live_server)
+    assert isinstance(unary_text, str)
+    assert isinstance(stream_text, str)
+
+
+def test_grpc_concurrent_streams(live_server, rng):
+    """Two concurrent streaming calls share the batched engine."""
+    import grpc
+
+    channel = grpc.insecure_channel(f"localhost:{live_server}")
+    stream = channel.stream_stream(
+        proto.METHOD_TRANSCRIBE_STREAM,
+        request_serializer=proto.Audio.SerializeToString,
+        response_deserializer=proto.Transcript.FromString,
+    )
+
+    def audio_gen(seed):
+        r = np.random.default_rng(seed)
+        for _ in range(8):
+            pcm = (r.standard_normal(1280) * 0.1).astype(np.float32)
+            yield proto.Audio(data=pcm.tobytes(), sr=16000)
+
+    results = {}
+
+    def run(name, seed):
+        results[name] = [t.data for t in stream(audio_gen(seed))]
+
+    threads = [
+        threading.Thread(target=run, args=("a", 1)),
+        threading.Thread(target=run, args=("b", 2)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert set(results) == {"a", "b"}
+    channel.close()
+
+
+# ---------------------------------------------------------------------------
+# WS bridge e2e
+# ---------------------------------------------------------------------------
+
+
+def test_bridge_frame_parse():
+    from libreasr_tpu.serving.bridge import parse_frame
+
+    payload = np.ones(4, np.float32).tobytes()
+    raw = b"en\x00\x00" + struct.pack("<f", 16000.0) + payload
+    lang, sr, data = parse_frame(raw)
+    assert lang == "en" and sr == 16000 and data == payload
+
+
+def test_ws_bridge_e2e(live_server, bundle):
+    """browser-protocol WS frames -> bridge -> gRPC -> engine -> text."""
+    import asyncio
+    import socket
+
+    import tornado.ioloop
+    from websockets.sync.client import connect
+
+    from libreasr_tpu.serving import bridge as bridge_mod
+    from libreasr_tpu.serving.bridge import WS_PATH, make_app
+
+    bridge_mod.LANG_PORTS = {"en": live_server}
+    with socket.socket() as s:
+        s.bind(("", 0))
+        ws_port = s.getsockname()[1]
+
+    loop_holder = {}
+
+    def run_bridge():
+        asyncio.set_event_loop(asyncio.new_event_loop())
+        app = make_app()
+        app.listen(ws_port)
+        loop_holder["loop"] = tornado.ioloop.IOLoop.current()
+        loop_holder["loop"].start()
+
+    t = threading.Thread(target=run_bridge, daemon=True)
+    t.start()
+    time.sleep(1.0)
+
+    rng = np.random.default_rng(0)
+    got = []
+    with connect(f"ws://localhost:{ws_port}{WS_PATH}") as ws:
+        header = b"en\x00\x00" + struct.pack("<f", 16000.0)
+        for _ in range(10):
+            pcm = (rng.standard_normal(1280) * 0.3).astype(np.float32)
+            ws.send(header + pcm.tobytes())
+        # collect whatever transcripts arrive within the idle window
+        ws.socket.settimeout(3.0)
+        try:
+            while True:
+                got.append(ws.recv(timeout=3.0))
+        except Exception:
+            pass
+    loop_holder["loop"].add_callback(loop_holder["loop"].stop)
+    # transcripts are strings (possibly none for random noise + random weights)
+    assert all(isinstance(g, str) for g in got)
