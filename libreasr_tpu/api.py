@@ -182,3 +182,67 @@ class ASRBundle:
             audio, np.array([audio.shape[1]]), **kw
         )
         return texts[0], {k: v[0] for k, v in metrics.items()}
+
+    # ---- beam search -------------------------------------------------------
+
+    def _beam_program(self, use_lm, beam_width, max_expand, max_tokens, lm_alpha):
+        from .models.beam import beam_decode
+
+        key = ("beam", use_lm, beam_width, max_expand, max_tokens, lm_alpha)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def run(variables, lm_variables, audio, sample_lengths):
+                fns = self.decoder_fns(
+                    use_lm, variables=variables, lm_variables=lm_variables
+                )
+                feats, flens = features_batch(audio, sample_lengths, self.frontend)
+                enc_out, _ = self.encode(feats, flens, variables=variables)
+                return beam_decode(
+                    fns, enc_out, flens,
+                    vocab_sz=self.cfg.vocab_sz, beam_width=beam_width,
+                    blank=self.cfg.blank, bos=self.cfg.bos,
+                    max_expand=max_expand, max_tokens=max_tokens,
+                    lm_alpha=lm_alpha,
+                )
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def transcribe_beam(
+        self,
+        audio: np.ndarray,
+        sample_lengths: np.ndarray | None = None,
+        *,
+        beam_width: int = 4,
+        use_lm: bool = False,
+        max_expand: int = 3,
+        max_tokens: int = 256,
+        lm_alpha: float = 0.1,
+    ):
+        """Beam-search transcription (with optional LM shallow fusion).
+        audio: [S] or [N, S]. Returns (texts, scores)."""
+        audio = np.asarray(audio, np.float32)
+        single = audio.ndim == 1
+        if single:
+            audio = audio[None]
+        if sample_lengths is None:
+            sample_lengths = np.full(len(audio), audio.shape[1])
+        run = self._beam_program(
+            use_lm and self.lm is not None, beam_width, max_expand,
+            max_tokens, lm_alpha,
+        )
+        toks, lens, scores = run(
+            self.variables,
+            self.lm_variables if use_lm else None,
+            jnp.asarray(audio), jnp.asarray(sample_lengths),
+        )
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        texts = [
+            self.lang.denumericalize(list(toks[i, : lens[i]]))
+            for i in range(len(toks))
+        ]
+        scores = np.asarray(scores)
+        if single:
+            return texts[0], float(scores[0])
+        return texts, scores
