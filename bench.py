@@ -32,11 +32,12 @@ def build_bundle():
     return ASRBundle.from_config(conf)
 
 
-def time_engine(bundle, n_streams: int, iters: int = 20) -> float:
-    """Median wall seconds per batched stream step (one 80 ms slide)."""
-    from libreasr_tpu.models.streaming import StreamingEngine
+def time_engine(bundle, n_streams: int, iters: int = 20, n_buffer: int = 1) -> float:
+    """Median wall seconds per batched stream step (n_buffer 80 ms slides)."""
+    from libreasr_tpu.models.streaming import StreamingConfig, StreamingEngine
 
-    eng = StreamingEngine(bundle, n_streams=n_streams)
+    scfg = StreamingConfig(sr=bundle.frontend.sr, n_buffer=n_buffer)
+    eng = StreamingEngine(bundle, n_streams=n_streams, scfg=scfg)
     rng = np.random.default_rng(0)
     w = rng.standard_normal(
         (n_streams, eng.scfg.n_buffer, eng.scfg.window_samples)
@@ -62,22 +63,23 @@ def main():
     bundle = build_bundle()
 
     best = 0.0
-    details = {}
-    for n in candidates:
-        try:
-            t = time_engine(bundle, n)
-        except Exception as e:  # OOM etc.
-            print(f"# n={n} failed: {e}", file=sys.stderr)
-            break
-        sustained = n * chunk_s / t
-        details[n] = {"step_ms": t * 1000.0, "sustained": sustained}
-        print(
-            f"# n={n}: step {t*1000:.1f} ms -> {sustained:.0f} realtime streams",
-            file=sys.stderr,
-        )
-        best = max(best, sustained)
-        if t > chunk_s * 4:  # far past real time, stop sweeping
-            break
+    for n_buffer in (1, 2):
+        budget = chunk_s * n_buffer
+        for n in candidates:
+            try:
+                t = time_engine(bundle, n, n_buffer=n_buffer)
+            except Exception as e:  # OOM etc.
+                print(f"# n={n} nb={n_buffer} failed: {e}", file=sys.stderr)
+                break
+            sustained = n * budget / t
+            print(
+                f"# n={n} nb={n_buffer}: step {t*1000:.1f} ms -> "
+                f"{sustained:.0f} realtime streams",
+                file=sys.stderr,
+            )
+            best = max(best, sustained)
+            if t > budget * 4:  # far past real time, stop sweeping
+                break
 
     print(
         json.dumps(

@@ -105,8 +105,8 @@ def decode_frame(
     models.py:405-443, mask-based)."""
     n = h_enc.shape[0]
 
-    def body(i, carry):
-        st, active = carry
+    def body(carry):
+        st, active, i = carry
         logits = fns.joint_step(st.h_pred, h_enc)
         logp = jax.nn.log_softmax(logits, axis=-1)
         pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
@@ -156,12 +156,16 @@ def decode_frame(
             lm_primed=lm_primed,
             sum_iters=st.sum_iters + active.astype(jnp.int32),
         )
-        return st, emit  # next iteration only for streams that emitted
+        return st, emit, i + 1  # next iteration only for streams that emitted
 
-    active0 = frame_valid
-    st, active = jax.lax.fori_loop(
-        0, max_iters, body, (state, active0)
-    )
+    def cond(carry):
+        _, active, i = carry
+        # early exit once every stream produced blank — saves the
+        # predictor/joint rounds on mostly-blank frames (the common case
+        # in streaming)
+        return (i < max_iters) & jnp.any(active)
+
+    st, active, _ = jax.lax.while_loop(cond, body, (state, frame_valid, 0))
     # frames that stopped after exactly 1 iteration (pure blank)
     iters_this_frame = st.sum_iters - state.sum_iters
     ones = state.ones + (iters_this_frame == 1).astype(jnp.int32)

@@ -105,8 +105,9 @@ class StreamingEngine:
         bundle = self.bundle
         use_lm = self.use_lm
 
-        def step(variables, state: StreamState, windows, valid, reset):
-            """windows: [N, n_buffer, W] raw pcm; valid/reset: [N] bool."""
+        def step(variables, state: StreamState, windows, valid, reset, fresh_dec):
+            """windows: [N, n_buffer, W] raw pcm; valid/reset: [N] bool.
+            fresh_dec: BOS-primed DecodeState (computed once on host)."""
             fns = bundle.decoder_fns(use_lm, variables=variables)
 
             def encode_step(feats, enc_state):
@@ -129,10 +130,6 @@ class StreamingEngine:
             feats = feats.reshape(n, -1, feats.shape[-1])  # [N, B, F]
 
             # --- per-stream reset (masked state swap) ------------------
-            fresh_dec = init_decode_state(
-                fns, n, cfg.vocab_sz, bos=cfg.bos,
-                max_tokens=scfg.max_tokens_per_step,
-            )
             do_reset = reset | ~state.started
 
             def sel(a, b):
@@ -175,6 +172,11 @@ class StreamingEngine:
     def _ensure_state(self):
         if self.state is None:
             dec, _ = self._fresh_state()
+            # the engine state is donated each step — the kept fresh
+            # template must own distinct buffers
+            self._fresh_dec = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), dec
+            )
             # build a concrete zero enc state by tracing one encode
             feats0 = jnp.zeros((self.n, 1, self.frontend.feature_sz))
             _, enc_state = self.bundle.encode(feats0, jnp.ones((self.n,), jnp.int32))
@@ -201,6 +203,7 @@ class StreamingEngine:
             jnp.asarray(windows),
             jnp.asarray(valid),
             jnp.asarray(reset),
+            self._fresh_dec,
         )
         return np.asarray(toks), np.asarray(lens)
 
