@@ -1,0 +1,44 @@
+# Build / run glue — target names follow the reference Makefile
+# (train / sen / sde / b / deploy / tensorboard / gen / test).
+
+PY ?= python
+
+# training (crash-resume is built into train.py via --ckpt)
+train:
+	$(PY) train.py --config config/base.yaml --ckpt tmp/ckpt
+
+train-lm:
+	$(PY) train_lm.py --corpus tmp/corpus.txt --tokenizer tmp/tokenizer.bpe-model
+
+# serving: per-language gRPC servers + WS bridge (reference :59-68)
+sen:
+	$(PY) -m libreasr_tpu.serving.server --lang en --port 50051
+
+sde:
+	$(PY) -m libreasr_tpu.serving.server --lang de --port 50052
+
+b:
+	$(PY) -m libreasr_tpu.serving.bridge --port 8080 --static apps/web
+
+deploy:
+	$(PY) -m libreasr_tpu.serving.server --lang en --port 50051 & \
+	$(PY) -m libreasr_tpu.serving.server --lang de --port 50052 & \
+	$(PY) -m libreasr_tpu.serving.bridge --port 8080 --static apps/web
+
+client:
+	$(PY) -m libreasr_tpu.serving.client --port 50051
+
+# native components
+native:
+	$(MAKE) -C libreasr_tpu/native all
+
+test:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+tensorboard:
+	tensorboard --logdir runs --port 6006 --host 0.0.0.0
+
+.PHONY: train train-lm sen sde b deploy client native test bench tensorboard

@@ -66,6 +66,42 @@ class ASRBundle:
             lm, lm_vars = init_lm(lm_cfg, jax.random.PRNGKey(seed + 1))
         return cls(conf, model, variables, lang, lm, lm_vars)
 
+    @classmethod
+    def from_bundle(
+        cls, path: str, *, lang_name: str = "en", extract_to: str = "./tmp"
+    ) -> "ASRBundle":
+        """Load a release tar.gz bundle (the reference's
+        load_asr_model/extract_tars path, model_utils.py:50-95)."""
+        import os
+
+        from flax import serialization
+
+        from .training.checkpoint import load_bundle
+
+        bundle = None
+        # first pass with default conf to build templates
+        conf = parse_and_apply_config(inference=True, lang=lang_name)
+        cfg = TransducerConfig.from_config(conf)
+        model, template = init_transducer(cfg, jax.random.PRNGKey(0))
+        variables, tok, lm_bytes, saved_conf = load_bundle(
+            path, lang_name, template, extract_to=extract_to
+        )
+        if saved_conf:
+            conf = saved_conf
+            cfg2 = TransducerConfig.from_config(conf)
+            if cfg2 != cfg:
+                model, template = init_transducer(cfg2, jax.random.PRNGKey(0))
+                variables, tok, lm_bytes, _ = load_bundle(
+                    path, lang_name, template, extract_to=extract_to
+                )
+        lang, _ = get_language(model_file=tok)
+        lm = lm_vars = None
+        if lm_bytes:
+            lm_cfg = LMConfig.from_config(conf)
+            lm, lm_template = init_lm(lm_cfg, jax.random.PRNGKey(1))
+            lm_vars = serialization.from_bytes(lm_template, lm_bytes)
+        return cls(conf, model, variables, lang, lm, lm_vars)
+
     # ---- decoder endpoint bindings ----------------------------------------
 
     def decoder_fns(

@@ -18,6 +18,26 @@ import jax.numpy as jnp
 from ..ops import rnn as rnn_ops
 
 
+class ResidualAdapter(nn.Module):
+    """Multilingual residual adapter (reference ResidualAdapter,
+    models.py:28-65, after https://ai.googleblog.com/2019/09): LayerNorm
+    -> bottleneck down -> activation -> up -> residual. Bottleneck is
+    rounded up to a multiple of 8 like the reference (:46-47)."""
+
+    hidden_sz: int
+    projection_factor: float = 3.2
+
+    @nn.compact
+    def __call__(self, x):
+        bott = int(self.hidden_sz / self.projection_factor)
+        bott = bott + (8 - bott % 8)
+        h = nn.LayerNorm(name="layer_norm")(x)
+        h = nn.Dense(bott, name="down")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.hidden_sz, name="up")(h)
+        return h + x
+
+
 class RNNLayer(nn.Module):
     """One recurrent layer with learnable initial state
     (reference custom_rnn.py:75-82,112-117)."""
