@@ -95,14 +95,23 @@ def make_train_step(
     tx: optax.GradientTransformation,
     frontend: FrontendConfig | None,
     loss_cfg: LossConfig = LossConfig(),
+    hutchinson: bool = False,
 ):
     """Build the jitted train step.
 
     If `frontend` is given, batches carry raw padded audio and feature
     extraction + SpecAugment run on device inside the same program.
+    If `hutchinson` (AdaHessian runs), a Rademacher Hessian-diagonal
+    estimate z ⊙ Hz is computed via forward-over-reverse AD and passed to
+    the optimizer (reference HutchinsonTraceCallback, learner.py:68-118);
+    the loss then uses the autodiff DP (rnnt_loss_naive) because the
+    analytic custom_vjp is first-order only.
     Returns step(state, carry, batch, rng) -> (state, carry, metrics).
     """
+    from ..ops.rnnt_loss import rnnt_loss_naive
+
     cfg = model.cfg
+    loss_impl = rnnt_loss_naive if hutchinson else rnnt_loss
 
     def step(state: TrainState, carry: BatchCarry, batch: Batch, rng):
         rng_aug, rng_drop, rng_state, rng_bos = jax.random.split(rng, 4)
@@ -161,7 +170,7 @@ def make_train_step(
             )
             if loss_cfg.zero_nan:
                 logits = jnp.nan_to_num(logits, nan=0.0, posinf=0.0, neginf=0.0)
-            per_seq = rnnt_loss(logits, y, flens_red, yl)
+            per_seq = loss_impl(logits, y, flens_red, yl)
             if loss_cfg.div_by_len:
                 per_seq = per_seq / (yl.astype(per_seq.dtype) + 1e-5)
             if 0.0 <= loss_cfg.keep_best_pcent < 1.0:
@@ -183,7 +192,30 @@ def make_train_step(
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        extra = {}
+        if hutchinson:
+            rng_z = jax.random.fold_in(rng, 99)
+            leaves, treedef = jax.tree_util.tree_flatten(state.params)
+            keys = jax.random.split(rng_z, len(leaves))
+            z = jax.tree_util.tree_unflatten(
+                treedef,
+                [
+                    jax.random.rademacher(k, l.shape, l.dtype)
+                    if jnp.issubdtype(l.dtype, jnp.floating)
+                    else jnp.zeros_like(l)
+                    for k, l in zip(keys, leaves)
+                ],
+            )
+            grad_only = lambda p: jax.grad(
+                lambda q: loss_fn(q)[0]
+            )(p)
+            _, hz = jax.jvp(grad_only, (state.params,), (z,))
+            extra["hessian_diag"] = jax.tree_util.tree_map(
+                lambda zz, hh: zz * hh, z, hz
+            )
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params, **extra
+        )
         params = optax.apply_updates(state.params, updates)
 
         # next-batch caches: final states + last labels (detached by
@@ -240,6 +272,7 @@ class Learner:
         loss_cfg: LossConfig = LossConfig(),
         mesh=None,
         seed: int = 0,
+        hutchinson: bool = False,
     ):
         self.model = model
         self.tx = tx
@@ -248,7 +281,8 @@ class Learner:
         self.mesh = mesh
         self.carries: dict[int, BatchCarry] = {}
         self._step_fn = jax.jit(
-            make_train_step(model, tx, frontend, loss_cfg), donate_argnums=(0,)
+            make_train_step(model, tx, frontend, loss_cfg, hutchinson=hutchinson),
+            donate_argnums=(0,),
         )
         self._rng = jax.random.PRNGKey(seed)
 

@@ -152,6 +152,69 @@ def apollo(
     return tx
 
 
+class AdaHessianState(NamedTuple):
+    count: jax.Array
+    m: optax.Updates        # grad EMA
+    v: optax.Updates        # hessian-diag^2 EMA
+
+
+def adahessian(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-4,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """AdaHessian (arXiv:2006.00719; reference optimizer.py:56-85 +
+    HutchinsonTraceCallback learner.py:68-118): Adam-shaped update whose
+    second moment tracks the squared Hutchinson Hessian-diagonal
+    estimate. The train step supplies `hessian_diag` via update's extra
+    kwarg (z ⊙ Hz with Rademacher z); when absent, |grad| is used as the
+    curvature proxy so the transform still functions standalone."""
+
+    def init(params):
+        # distinct buffer trees — aliases break train-state donation
+        return AdaHessianState(
+            jnp.zeros([], jnp.int32),
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None, *, hessian_diag=None, **extra):
+        del extra
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        hd = (
+            hessian_diag
+            if hessian_diag is not None
+            else jax.tree_util.tree_map(jnp.abs, updates)
+        )
+        m = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.m, updates
+        )
+        v = jax.tree_util.tree_map(
+            lambda v, d: b2 * v + (1 - b2) * d * d, state.v, hd
+        )
+        mc = 1 - b1**t
+        vc = 1 - b2**t
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        def upd(m, v, p):
+            step = (m / mc) / (jnp.sqrt(v / vc) + eps)
+            if weight_decay and p is not None:
+                step = step + weight_decay * p
+            return -lr * step
+
+        if params is not None:
+            final = jax.tree_util.tree_map(upd, m, v, params)
+        else:
+            final = jax.tree_util.tree_map(lambda m, v: upd(m, v, None), m, v)
+        return final, AdaHessianState(count, m, v)
+
+    # ExtraArgs so optax.chain/MultiSteps forward hessian_diag through
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
 def build_optimizer(
     name: str,
     learning_rate,
@@ -176,6 +239,8 @@ def build_optimizer(
         base = optax.adamw(learning_rate, weight_decay=weight_decay)
     elif name == "apollo":
         base = apollo(learning_rate, weight_decay=weight_decay)
+    elif name == "adahessian":
+        base = adahessian(learning_rate, weight_decay=weight_decay)
     elif name == "sgd":
         base = optax.sgd(learning_rate, momentum=0.9)
     else:

@@ -102,6 +102,7 @@ def main(argv=None):
         frontend=FrontendConfig.from_config(conf),
         loss_cfg=LossConfig.from_config(conf),
         mesh=mesh, seed=seed,
+        hutchinson=tconf.get("optimizer", "").lower() == "adahessian",
     )
 
     # crash-resume (reference Makefile:1-4 + ipynb cell 21 try/except)
