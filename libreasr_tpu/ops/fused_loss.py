@@ -1,0 +1,224 @@
+"""Fused joint+RNN-T loss: never materializes the full [N,T,U,V] lattice.
+
+The reference expands encoder/predictor to [N,T,U,H] and materializes
+the full vocab lattice for warp_rnnt (models.py:345-359) — its memory
+hot spot. Here the joint network and the loss are fused behind one
+`custom_vjp` over (enc_out [N,T,H], pred_out [N,U1,H], joint params):
+
+- forward: scan over T-chunks; each chunk computes its [N,Tc,U1,V]
+  logits, reduces them immediately to the two DP inputs
+  lp_blank [N,Tc,U1] / lp_emit [N,Tc,U] (no V axis), and discards the
+  logits. Peak live memory is one chunk of lattice instead of T/Tc of
+  them.
+- backward: alpha/beta run on the small lp arrays; per chunk the logits
+  are *recomputed* and the analytic occupancy gradients are pulled back
+  through the joint with a per-chunk `jax.vjp` — gradient checkpointing
+  over time with exact analytic DP gradients.
+
+The joint math matches models/modules.Joint (concat method decomposed
+into pred/enc projections).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rnnt_loss import (
+    NEG, _backward_betas, _forward_alphas, _terminal_gather,
+)
+
+
+class JointParams(NamedTuple):
+    w_pred: jax.Array  # [H, J]
+    b_pred: jax.Array  # [J]
+    w_enc: jax.Array   # [H, J]
+    w_out: jax.Array   # [J, V]
+    b_out: jax.Array   # [V]
+
+
+def _chunk_lp(enc_chunk, pred_proj, jp: JointParams, labels, blank):
+    """[N,Tc,H] x [N,U1,J] -> (lp_blank [N,Tc,U1], lp_emit [N,Tc,U])."""
+    enc_proj = (
+        jnp.dot(enc_chunk, jp.w_enc, preferred_element_type=jnp.float32)
+    )                                                    # [N,Tc,J]
+    hidden = jnp.tanh(enc_proj[:, :, None, :] + pred_proj[:, None, :, :])
+    logits = (
+        jnp.dot(hidden, jp.w_out, preferred_element_type=jnp.float32)
+        + jp.b_out
+    )                                                    # [N,Tc,U1,V]
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    lp_blank = logits[..., blank] - lse
+    u = labels.shape[1]
+    emit_logits = jnp.take_along_axis(
+        logits[:, :, :u, :], labels[:, None, :, None], axis=-1
+    )[..., 0]
+    lp_emit = emit_logits - lse[:, :, :u]
+    return lp_blank, lp_emit
+
+
+def _pred_proj(pred_out, jp: JointParams):
+    return (
+        jnp.dot(pred_out, jp.w_pred, preferred_element_type=jnp.float32)
+        + jp.b_pred
+    )
+
+
+def _all_lp(enc_out, pred_out, jp, labels, blank, t_chunk):
+    n, t, _ = enc_out.shape
+    pp = _pred_proj(pred_out, jp)
+    n_chunks = t // t_chunk
+    enc_chunks = enc_out.reshape(n, n_chunks, t_chunk, -1).swapaxes(0, 1)
+
+    def body(_, enc_c):
+        return (), _chunk_lp(enc_c, pp, jp, labels, blank)
+
+    _, (lpb, lpe) = jax.lax.scan(body, (), enc_chunks)
+    # [n_chunks, N, Tc, .] -> [N, T, .]
+    lpb = lpb.swapaxes(0, 1).reshape(n, t, -1)
+    lpe = lpe.swapaxes(0, 1).reshape(n, t, -1)
+    return lpb, lpe
+
+
+def _pad_time(enc_out, t_chunk):
+    t = enc_out.shape[1]
+    pad = (-t) % t_chunk
+    if pad:
+        enc_out = jnp.pad(enc_out, ((0, 0), (0, pad), (0, 0)))
+    return enc_out, t + pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def rnnt_loss_fused(
+    enc_out, pred_out, joint_params, labels, frame_lengths, label_lengths,
+    blank: int = 0, t_chunk: int = 16,
+):
+    """Per-sequence RNN-T loss from raw encoder/predictor outputs.
+
+    enc_out: [N, T, H]; pred_out: [N, U+1, H]; labels [N, U].
+    Returns loss [N]. Differentiable w.r.t. enc_out, pred_out and
+    joint_params with chunked recomputation.
+    """
+    loss, _ = _fused_fwd_impl(
+        enc_out, pred_out, joint_params, labels, frame_lengths,
+        label_lengths, blank, t_chunk,
+    )
+    return loss
+
+
+def _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk):
+    enc_p, t_pad = _pad_time(enc_out.astype(jnp.float32), t_chunk)
+    lpb, lpe = _all_lp(enc_p, pred_out.astype(jnp.float32), jp, labels, blank, t_chunk)
+    alpha, lpe_m = _forward_alphas(lpb, lpe, yl)
+    log_z = _terminal_gather(alpha, lpb, fl, yl)
+    return -log_z, (lpb, lpe_m)
+
+
+def _fused_fwd(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk):
+    loss, _ = _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk)
+    return loss, (enc_out, pred_out, jp, labels, fl, yl)
+
+
+def _fused_bwd(blank, t_chunk, res, g):
+    enc_out, pred_out, jp, labels, fl, yl = res
+    enc_out32 = enc_out.astype(jnp.float32)
+    pred_out32 = pred_out.astype(jnp.float32)
+    n, t_orig, h = enc_out.shape
+    u1 = pred_out.shape[1]
+
+    enc_p, t = _pad_time(enc_out32, t_chunk)
+    lpb, lpe = _all_lp(enc_p, pred_out32, jp, labels, blank, t_chunk)
+    alpha, lpe_m = _forward_alphas(lpb, lpe, yl)
+    beta = _backward_betas(lpb, lpe_m, fl, yl)
+    log_z = _terminal_gather(alpha, lpb, fl, yl)
+
+    t_ids = jnp.arange(t)
+    u_ids = jnp.arange(u1)
+    valid = (t_ids[None, :] < fl[:, None])[:, :, None] & (
+        u_ids[None, :] <= yl[:, None]
+    )[:, None, :]
+
+    exit_row = jnp.where(u_ids[None, :] == yl[:, None], 0.0, NEG)
+    beta_next_t = jnp.concatenate(
+        [beta[:, 1:, :], jnp.full((n, 1, u1), NEG)], axis=1
+    )
+    beta_next_t = jnp.where(
+        (t_ids[None, :] + 1 == fl[:, None])[:, :, None],
+        exit_row[:, None, :],
+        beta_next_t,
+    )
+    beta_next_u = jnp.concatenate(
+        [beta[:, :, 1:], jnp.full((n, t, 1), NEG)], axis=2
+    )
+    lz = log_z[:, None, None]
+    occ_blank = jnp.where(
+        valid, jnp.exp(jnp.clip(alpha + lpb + beta_next_t - lz, NEG, 0.0)), 0.0
+    )
+    occ_emit = jnp.where(
+        valid[:, :, :-1],
+        jnp.exp(
+            jnp.clip(alpha[:, :, :-1] + lpe_m + beta_next_u[:, :, :-1] - lz, NEG, 0.0)
+        ),
+        0.0,
+    )
+    # d(-logZ)/d lp = -occ, scaled by the upstream cotangent
+    g_lpb = -occ_blank * g[:, None, None]
+    g_lpe = -occ_emit * g[:, None, None]
+
+    # pull back through the joint, chunk by chunk, recomputing logits
+    pp = _pred_proj(pred_out32, jp)
+    n_chunks = t // t_chunk
+    enc_chunks = enc_p.reshape(n, n_chunks, t_chunk, h).swapaxes(0, 1)
+    g_lpb_c = g_lpb.reshape(n, n_chunks, t_chunk, u1).swapaxes(0, 1)
+    g_lpe_c = g_lpe.reshape(n, n_chunks, t_chunk, -1).swapaxes(0, 1)
+
+    def chunk_fn(enc_c, pp_, jp_):
+        return _chunk_lp(enc_c, pp_, jp_, labels, blank)
+
+    def body(carry, xs):
+        d_pp_acc, d_jp_acc = carry
+        enc_c, gb, ge = xs
+        _, vjp_fn = jax.vjp(chunk_fn, enc_c, pp, jp)
+        d_enc_c, d_pp, d_jp = vjp_fn((gb, ge))
+        d_pp_acc = d_pp_acc + d_pp
+        d_jp_acc = jax.tree_util.tree_map(jnp.add, d_jp_acc, d_jp)
+        return (d_pp_acc, d_jp_acc), d_enc_c
+
+    zero_jp = jax.tree_util.tree_map(jnp.zeros_like, jp)
+    (d_pp, d_jp), d_enc_chunks = jax.lax.scan(
+        body, (jnp.zeros_like(pp), zero_jp), (enc_chunks, g_lpb_c, g_lpe_c)
+    )
+    d_enc = d_enc_chunks.swapaxes(0, 1).reshape(n, t, h)[:, :t_orig]
+
+    # pred_out grad: through the pred projection
+    _, pp_vjp = jax.vjp(lambda po, jp_: _pred_proj(po, jp_), pred_out32, jp)
+    d_pred, d_jp2 = pp_vjp(d_pp)
+    d_jp = jax.tree_util.tree_map(jnp.add, d_jp, d_jp2)
+
+    return (
+        d_enc.astype(enc_out.dtype),
+        d_pred.astype(pred_out.dtype),
+        d_jp,
+        None,
+        None,
+        None,
+    )
+
+
+rnnt_loss_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def joint_params_from_flax(joint_variables) -> JointParams:
+    """Extract JointParams from a flax Joint module's param dict
+    (models/modules.Joint, method='concat')."""
+    p = joint_variables
+    return JointParams(
+        w_pred=p["pred_proj"]["kernel"],
+        b_pred=p["pred_proj"]["bias"],
+        w_enc=p["enc_proj"]["kernel"],
+        w_out=p["out"]["kernel"],
+        b_out=p["out"]["bias"],
+    )

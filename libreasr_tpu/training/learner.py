@@ -59,6 +59,8 @@ class LossConfig:
     zero_nan: bool = True
     div_by_len: bool = False
     keep_best_pcent: float = -0.75
+    fused: bool = False     # fused joint+loss (no [N,T,U,V] lattice)
+    t_chunk: int = 16
 
     @classmethod
     def from_config(cls, conf):
@@ -67,6 +69,8 @@ class LossConfig:
             zero_nan=l.get("zero_nan", True),
             div_by_len=l.get("div_by_len", False),
             keep_best_pcent=l.get("keep_best_pcent", -0.75),
+            fused=l.get("fused", False),
+            t_chunk=l.get("t_chunk", 16),
         )
 
 
@@ -112,6 +116,10 @@ def make_train_step(
 
     cfg = model.cfg
     loss_impl = rnnt_loss_naive if hutchinson else rnnt_loss
+    if loss_cfg.fused and cfg.joint_method != "concat":
+        raise ValueError("fused loss requires joint_method='concat'")
+    if loss_cfg.fused and hutchinson:
+        raise ValueError("fused loss is first-order only (no hutchinson)")
 
     def step(state: TrainState, carry: BatchCarry, batch: Batch, rng):
         rng_aug, rng_drop, rng_state, rng_bos = jax.random.split(rng, 4)
@@ -155,8 +163,39 @@ def make_train_step(
         flens_red = flens // max(cfg.reduction_factor, 1)
 
         def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if loss_cfg.fused:
+                # fused joint+loss: encoder/predictor run separately and
+                # the lattice is never materialized (ops/fused_loss.py)
+                from ..ops.fused_loss import (
+                    joint_params_from_flax, rnnt_loss_fused,
+                )
+
+                (enc_out, enc_st), upd1 = model.apply(
+                    variables, feats, state=enc_state0, lengths=flens,
+                    train=True, rngs={"dropout": rng_drop},
+                    mutable=["batch_stats"], method=Transducer.encode,
+                )
+                yconcat = jnp.concatenate([bos_tokens, y], axis=1)
+                (pred_out, pred_st), upd2 = model.apply(
+                    variables, yconcat, state=pred_state0, lengths=yl,
+                    train=True, rngs={"dropout": jax.random.fold_in(rng_drop, 1)},
+                    mutable=["batch_stats"], method=Transducer.predict,
+                )
+                new_bs = {**upd1["batch_stats"], **upd2["batch_stats"]}
+                per_seq = rnnt_loss_fused(
+                    enc_out, pred_out, joint_params_from_flax(params["joint"]),
+                    y, flens_red, yl, cfg.blank, loss_cfg.t_chunk,
+                )
+                if loss_cfg.div_by_len:
+                    per_seq = per_seq / (yl.astype(per_seq.dtype) + 1e-5)
+                if 0.0 <= loss_cfg.keep_best_pcent < 1.0:
+                    k = max(int(n * loss_cfg.keep_best_pcent), 1)
+                    per_seq = jax.lax.top_k(per_seq, k)[0]
+                return per_seq.mean(), (new_bs, enc_st, pred_st)
+
             (logits, (enc_st, pred_st)), updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                variables,
                 feats,
                 y,
                 flens,

@@ -107,6 +107,37 @@ def test_carry_updates_across_steps(rng):
     assert np.abs(np.asarray(carry.enc_state[0][0])).sum() > 0
 
 
+def test_fused_loss_step_matches_unfused(rng):
+    """The fused joint+loss train step must produce the same loss and
+    the same updated params as the lattice path (dropout off)."""
+    cfg = tiny_cfg(enc_dropout=0.0, pred_dropout=0.0, use_tmp_state_pcent=0.0)
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    batch = feature_batch(rng)
+    var_copy = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
+
+    tx = build_optimizer("adam", 1e-3)
+    l_ref = Learner(model, variables, tx, frontend=None, seed=11)
+    m_ref = l_ref.step(batch)
+
+    l_fused = Learner(
+        model, var_copy, tx, frontend=None, seed=11,
+        loss_cfg=LossConfig(fused=True, t_chunk=4),
+    )
+    m_fused = l_fused.step(batch)
+
+    np.testing.assert_allclose(m_fused["loss"], m_ref["loss"], rtol=1e-4)
+    w_a = np.asarray(l_ref.state.params["joint"]["out"]["kernel"])
+    w_b = np.asarray(l_fused.state.params["joint"]["out"]["kernel"])
+    np.testing.assert_allclose(w_a, w_b, rtol=1e-3, atol=1e-5)
+    e_a = np.asarray(
+        jax.tree_util.tree_leaves(l_ref.state.params["encoder"])[0]
+    )
+    e_b = np.asarray(
+        jax.tree_util.tree_leaves(l_fused.state.params["encoder"])[0]
+    )
+    np.testing.assert_allclose(e_a, e_b, rtol=1e-3, atol=1e-5)
+
+
 def test_lookahead_sync():
     params = {"w": jnp.array([1.0, 2.0])}
     tx = lookahead(optax.sgd(0.1), k=2, alpha=0.5)
