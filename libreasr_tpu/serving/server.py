@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import argparse
 import threading
+import time
+from collections import defaultdict
 from concurrent import futures
 
 import numpy as np
@@ -21,6 +23,29 @@ from ..utils import tensorize
 from . import proto
 
 LANG_PORTS = {"en": 50051, "de": 50052, "fr": 50053}
+
+
+class StageTimings:
+    """Per-stage latency counters served as metrics (the reference only
+    had ad-hoc start_perf/stop_perf prints, models.py:278-285)."""
+
+    def __init__(self):
+        self._sum = defaultdict(float)
+        self._count = defaultdict(int)
+        self._lock = threading.Lock()
+
+    def record(self, stage: str, seconds: float):
+        with self._lock:
+            self._sum[stage] += seconds
+            self._count[stage] += 1
+
+    def snapshot(self) -> dict[str, dict]:
+        with self._lock:
+            return {
+                k: {"avg_ms": 1e3 * self._sum[k] / max(self._count[k], 1),
+                    "count": self._count[k]}
+                for k in self._sum
+            }
 
 
 class ASRServicer:
@@ -37,16 +62,21 @@ class ASRServicer:
             )
         self.engine = engine
         self._lock = threading.Lock()
+        self.timings = StageTimings()
 
     # -- unary -------------------------------------------------------------
 
     def Transcribe(self, request: proto.Audio, context=None) -> proto.Transcript:
+        t0 = time.perf_counter()
         pcm = tensorize(request.data)
         if request.sr and request.sr != self.bundle.frontend.sr:
             from ..data.audio import resample
 
             pcm = resample(pcm, request.sr, self.bundle.frontend.sr)
+        self.timings.record("preprocess", time.perf_counter() - t0)
+        t1 = time.perf_counter()
         text, _ = self.bundle.transcribe(pcm)
+        self.timings.record("transcribe", time.perf_counter() - t1)
         return proto.Transcript(data=text)
 
     # -- streaming -----------------------------------------------------------
@@ -64,8 +94,10 @@ class ASRServicer:
                     from ..data.audio import resample
 
                     pcm = resample(pcm, msg.sr, self.bundle.frontend.sr)
+                t0 = time.perf_counter()
                 with self._lock:
                     new_text = self.engine.feed(slot, pcm)
+                self.timings.record("stream_chunk", time.perf_counter() - t0)
                 if new_text and new_text != last:
                     last = new_text
                     yield proto.Transcript(data=new_text)
