@@ -294,6 +294,13 @@ def time_reduce(x: jax.Array, lengths, factor: int):
     return x, lengths
 
 
+def mish(x):
+    """Mish activation x * tanh(softplus(x)) (reference layers/mish.py —
+    a hand-written autograd fn there; here plain jnp, XLA differentiates
+    and fuses it)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
 CELLS = {
     "LSTM": (lstm_scan, init_lstm, 2),
     "GRU": (gru_scan, init_gru, 1),
