@@ -76,24 +76,18 @@ class ASRBundle:
 
         from flax import serialization
 
-        from .training.checkpoint import load_bundle
+        from .training.checkpoint import load_bundle, read_bundle_conf
 
-        bundle = None
-        # first pass with default conf to build templates
-        conf = parse_and_apply_config(inference=True, lang=lang_name)
+        # size the model from the bundle's own config before touching
+        # the weights
+        conf = read_bundle_conf(path, lang_name) or parse_and_apply_config(
+            inference=True, lang=lang_name
+        )
         cfg = TransducerConfig.from_config(conf)
         model, template = init_transducer(cfg, jax.random.PRNGKey(0))
-        variables, tok, lm_bytes, saved_conf = load_bundle(
+        variables, tok, lm_bytes, _ = load_bundle(
             path, lang_name, template, extract_to=extract_to
         )
-        if saved_conf:
-            conf = saved_conf
-            cfg2 = TransducerConfig.from_config(conf)
-            if cfg2 != cfg:
-                model, template = init_transducer(cfg2, jax.random.PRNGKey(0))
-                variables, tok, lm_bytes, _ = load_bundle(
-                    path, lang_name, template, extract_to=extract_to
-                )
         lang, _ = get_language(model_file=tok)
         lm = lm_vars = None
         if lm_bytes:

@@ -34,9 +34,14 @@ class CTCConfig:
     @classmethod
     def from_config(cls, conf: dict) -> "CTCConfig":
         m = conf.get("model", {})
+        ctc = m.get("ctc", {}) or {}
         return cls(
             feature_sz=m.get("feature_sz", 128),
             vocab_sz=m.get("vocab_sz", 2048),
+            d_model=ctc.get("d_model", 128),
+            n_heads=ctc.get("n_heads", 8),
+            n_layers=ctc.get("n_layers", 8),
+            dropout=ctc.get("dropout", 0.1),
         )
 
 

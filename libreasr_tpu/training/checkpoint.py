@@ -92,6 +92,17 @@ def save_bundle(
     return out_path
 
 
+def read_bundle_conf(path: str, lang_name: str) -> dict:
+    """Read just the config.json out of a bundle (to size the model
+    before deserializing weights)."""
+    with tarfile.open(path, "r:gz") as tar:
+        try:
+            f = tar.extractfile(f"{lang_name}/config.json")
+        except KeyError:
+            return {}
+        return json.load(f) if f else {}
+
+
 def load_bundle(path: str, lang_name: str, variables_template, extract_to="./tmp"):
     """Extract and load a bundle (model_utils.py:50-95). Returns
     (variables, tokenizer_path_or_None, lm_bytes_or_None, conf)."""

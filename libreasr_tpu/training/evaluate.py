@@ -27,19 +27,33 @@ class EvalResult:
     samples: list = field(default_factory=list)
 
 
-def make_eval_step(bundle, max_iters: int = 3, max_tokens: int = 128):
-    """Jitted batch decode: (variables, audio, lengths) -> tokens."""
+def make_eval_step(
+    bundle, max_iters: int = 3, max_tokens: int = 128, beam_width: int = 0
+):
+    """Jitted batch decode: (variables, audio, lengths) -> tokens.
+    beam_width > 1 switches to beam search."""
 
     @jax.jit
     def run(variables, audio, lengths):
         fns = bundle.decoder_fns(use_lm=False, variables=variables)
         feats, flens = features_batch(audio, lengths, bundle.frontend)
         enc_out, _ = bundle.encode(feats, flens, variables=variables)
-        toks, tok_lens, metrics, _ = greedy_decode(
-            fns, enc_out, flens,
-            vocab_sz=bundle.cfg.vocab_sz, blank=bundle.cfg.blank,
-            bos=bundle.cfg.bos, max_iters=max_iters, max_tokens=max_tokens,
-        )
+        if beam_width > 1:
+            from ..models.beam import beam_decode
+
+            toks, tok_lens, scores = beam_decode(
+                fns, enc_out, flens,
+                vocab_sz=bundle.cfg.vocab_sz, beam_width=beam_width,
+                blank=bundle.cfg.blank, bos=bundle.cfg.bos,
+                max_expand=max_iters, max_tokens=max_tokens,
+            )
+            metrics = {"alignment_score": jnp.zeros_like(scores)}
+        else:
+            toks, tok_lens, metrics, _ = greedy_decode(
+                fns, enc_out, flens,
+                vocab_sz=bundle.cfg.vocab_sz, blank=bundle.cfg.blank,
+                bos=bundle.cfg.bos, max_iters=max_iters, max_tokens=max_tokens,
+            )
         return toks, tok_lens, metrics
 
     return run
@@ -52,11 +66,12 @@ def evaluate(
     variables=None,
     max_batches: int | None = None,
     keep_samples: int = 8,
+    beam_width: int = 0,
 ) -> EvalResult:
     """Decode `batches` (training Batch tuples with raw audio + label
     ids) and score against the references."""
     variables = variables if variables is not None else bundle.variables
-    run = make_eval_step(bundle)
+    run = make_eval_step(bundle, beam_width=beam_width)
     lang = bundle.lang
     wers, cers, aligns, samples = [], [], [], []
     for bi, batch in enumerate(batches):

@@ -69,6 +69,72 @@ def test_ctc_greedy_decode():
     assert list(np.asarray(toks)[0, : int(lens[0])]) == [1, 1]
 
 
+def test_ctc_train_cli(tmp_path, capsys):
+    """train.py with model.name=CTCModel trains and evaluates."""
+    import os
+    import sys
+    import wave
+
+    import yaml
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import train as train_cli
+    from libreasr_tpu.data.create_dataset import create_dataset
+    from libreasr_tpu.data.split import split_dataset
+
+    rng = np.random.default_rng(3)
+    spk = tmp_path / "s"
+    spk.mkdir()
+    with open(spk / "s.trans.txt", "w") as tf:
+        for i, t in enumerate(["yes", "no", "up", "down"] * 2):
+            utt = f"s-{i:03d}"
+            pcm = (rng.standard_normal(10000) * 0.1).clip(-1, 1)
+            with wave.open(str(spk / f"{utt}.wav"), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((pcm * 32767).astype(np.int16).tobytes())
+            tf.write(f"{utt} {t.upper()}\n")
+    create_dataset(str(tmp_path), "librispeech", workers=1)
+    split_dataset(str(tmp_path), valid=0.25, test=0.0)
+
+    conf = {
+        "datasets": ["c"], "dataset_paths": {"c": str(tmp_path)},
+        "apply_limits": False, "pcent": {"train": 1.0, "valid": 1.0},
+        "shuffle_builder": {"train": False, "valid": False}, "sr": 16000,
+        "melkwargs": {"n_fft": 1024, "n_mels": 128},
+        "win_length": 0.025, "hop_length": 0.01, "deltas": 0,
+        "transforms": {
+            "x": [{"name": "OpenAudio"}, {"name": "ChannelCut"}, {"name": "PadderCutter"}],
+            "y": [{"name": "OpenLabel"}, {"name": "Numericalize"}, {"name": "AddLen"}],
+        },
+        "buckets": [{"max_samples": 16000, "y_max": 8, "bs": 4}],
+        "mesh": {"data": 1, "model": 1},
+        "dtypes": {"compute": "float32"},
+        "model": {
+            "name": "CTCModel", "feature_sz": 1280, "vocab_sz": 40,
+            "ctc": {"d_model": 16, "n_heads": 2, "n_layers": 1, "dropout": 0.0},
+            "embed_sz": 8, "hidden_sz": 8, "out_sz": 8, "joint_sz": 8,
+            "encoder": {"rnn_type": "LSTM", "num_layers": 1, "dropout": 0.0},
+            "predictor": {"rnn_type": "NBRC", "num_layers": 1, "dropout": 0.0},
+            "joint": {"method": "concat", "dropout": 0.0},
+        },
+        "training": {"optimizer": "adamw", "lr": 1e-3, "epochs": 1},
+        "bs": 4, "accumulate_n_batches": 1, "seed": 0,
+        "lm": {"enable": False},
+        "tokenizer": {"model_file": ""},
+    }
+    conf_path = tmp_path / "ctc.yaml"
+    conf_path.write_text(yaml.safe_dump(conf))
+    train_cli.main([
+        "--config", str(conf_path), "--steps", "2",
+        "--ckpt", str(tmp_path / "ck"), "--eval-batches", "1",
+        "--logdir", str(tmp_path / "runs"),
+    ])
+    out = capsys.readouterr().out
+    assert "[ctc]" in out and "wer=" in out
+
+
 def test_lm_trainer_smoke(tmp_path, capsys):
     import train_lm
 

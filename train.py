@@ -80,6 +80,10 @@ def main(argv=None):
     valid_ds = ASRDataset.from_config(valid_conf, lang, "valid")
     print(f"[train] train={train_ds.builder.stats()} valid={len(valid_ds.builder)}")
 
+    # model family dispatch (reference selects by model.name)
+    if conf["model"].get("name", "Transducer") == "CTCModel":
+        return _train_ctc(args, conf, lang, train_ds, valid_ds, mesh, seed)
+
     # model + optimizer
     cfg = TransducerConfig.from_config(conf)
     model, variables = init_transducer(cfg, jax.random.PRNGKey(seed))
@@ -162,6 +166,44 @@ def main(argv=None):
         print(f"[train] bundle -> {args.bundle_out}")
     logger.close()
     print(f"[train] done: step={step} wer={result.wer:.3f} cer={result.cer:.3f}")
+
+
+def _train_ctc(args, conf, lang, train_ds, valid_ds, mesh, seed):
+    import jax
+
+    from libreasr_tpu.models.ctc import CTCConfig, init_ctc
+    from libreasr_tpu.ops.frontend import FrontendConfig
+    from libreasr_tpu.training.ctc_learner import CTCLearner
+    from libreasr_tpu.training.optimizers import build_optimizer, make_lr_schedule
+
+    tconf = conf.get("training", {})
+    cfg = CTCConfig.from_config(conf)
+    model, variables = init_ctc(cfg, jax.random.PRNGKey(seed))
+    schedule = make_lr_schedule(
+        {**tconf, "total_steps": args.steps or tconf.get("total_steps", 100_000)}
+    )
+    tx = build_optimizer(
+        tconf.get("optimizer", "adamw"), schedule,
+        weight_decay=tconf.get("wd", 0.01),
+        grad_clip=tconf.get("grad_clip", 10.0),
+        accumulate=conf.get("accumulate_n_batches", 1),
+    )
+    learner = CTCLearner(
+        model, variables, tx, frontend=FrontendConfig.from_config(conf), seed=seed
+    )
+    step = 0
+    for epoch in range(tconf.get("epochs", 20)):
+        for batch in train_ds:
+            m = learner.step(batch)
+            step = int(learner.state.step)
+            if args.steps and step >= args.steps:
+                break
+        res = learner.evaluate(iter(valid_ds), lang, max_batches=args.eval_batches)
+        print(f"[ctc] epoch {epoch} step={step} loss={float(m['loss']):.3f} "
+              f"wer={res['wer']:.3f} cer={res['cer']:.3f}")
+        if args.steps and step >= args.steps:
+            break
+    print(f"[train] done: step={step} wer={res['wer']:.3f} cer={res['cer']:.3f}")
 
 
 def _run_eval(bundle, learner, valid_ds, logger, step, max_batches, ckpt):
