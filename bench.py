@@ -57,6 +57,10 @@ def time_engine(bundle, n_streams: int, iters: int = 20, n_buffer: int = 1) -> f
 def main():
     import jax
 
+    from libreasr_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     chunk_s = 0.080
     platform = jax.devices()[0].platform
     candidates = [64, 128, 256, 512] if platform != "cpu" else [8]

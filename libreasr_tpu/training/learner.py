@@ -182,7 +182,13 @@ def make_train_step(
                     train=True, rngs={"dropout": jax.random.fold_in(rng_drop, 1)},
                     mutable=["batch_stats"], method=Transducer.predict,
                 )
-                new_bs = {**upd1["batch_stats"], **upd2["batch_stats"]}
+                # flax returns the *whole* collection from each apply —
+                # take each tower's updated stats from its own call
+                # (naive dict-merge would overwrite encoder stats with
+                # the predictor call's stale copy)
+                new_bs = dict(state.batch_stats)
+                new_bs["encoder"] = upd1["batch_stats"]["encoder"]
+                new_bs["predictor"] = upd2["batch_stats"]["predictor"]
                 per_seq = rnnt_loss_fused(
                     enc_out, pred_out, joint_params_from_flax(params["joint"]),
                     y, flens_red, yl, cfg.blank, loss_cfg.t_chunk,

@@ -54,6 +54,20 @@ def log_softmax(x, axis: int = -1):
     return jax.nn.log_softmax(x, axis=axis)
 
 
+def enable_compilation_cache(path: str = "tmp/jax_cache") -> None:
+    """Persistent XLA compilation cache — first compiles in this
+    environment run through a remote-compile tunnel and cost minutes, so
+    caching across processes matters."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def make_lengths_mask(lengths, max_len: int, dtype=jnp.bool_):
     """[N] lengths -> [N, max_len] validity mask."""
     t = jnp.arange(max_len)[None, :]

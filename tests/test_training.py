@@ -126,6 +126,17 @@ def test_fused_loss_step_matches_unfused(rng):
     m_fused = l_fused.step(batch)
 
     np.testing.assert_allclose(m_fused["loss"], m_ref["loss"], rtol=1e-4)
+    # batch_stats must update in BOTH towers on the fused path too
+    for tower in ("encoder", "predictor"):
+        a = np.concatenate([
+            np.ravel(l) for l in jax.tree_util.tree_leaves(
+                l_ref.state.batch_stats[tower])
+        ])
+        b = np.concatenate([
+            np.ravel(l) for l in jax.tree_util.tree_leaves(
+                l_fused.state.batch_stats[tower])
+        ])
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
     w_a = np.asarray(l_ref.state.params["joint"]["out"]["kernel"])
     w_b = np.asarray(l_fused.state.params["joint"]["out"]["kernel"])
     np.testing.assert_allclose(w_a, w_b, rtol=1e-3, atol=1e-5)

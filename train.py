@@ -31,6 +31,10 @@ def main(argv=None):
     import jax
     import numpy as np
 
+    from libreasr_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from libreasr_tpu.api import ASRBundle
     from libreasr_tpu.config import parse_and_apply_config
     from libreasr_tpu.data.batching import ASRDataset
