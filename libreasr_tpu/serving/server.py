@@ -51,8 +51,11 @@ class StageTimings:
 class ASRServicer:
     """Implements ASR.ASR (reference ASRServicer, api-server.py:53-135)."""
 
-    def __init__(self, bundle, engine=None, max_streams: int = 64):
+    def __init__(self, bundle, engine=None, max_streams: int = 64,
+                 beam_width: int = 0, use_lm: bool = False):
         self.bundle = bundle
+        self.beam_width = beam_width
+        self.use_lm = use_lm
         if engine is None:
             from ..models.streaming import StreamingEngine
 
@@ -75,7 +78,12 @@ class ASRServicer:
             pcm = resample(pcm, request.sr, self.bundle.frontend.sr)
         self.timings.record("preprocess", time.perf_counter() - t0)
         t1 = time.perf_counter()
-        text, _ = self.bundle.transcribe(pcm)
+        if self.beam_width > 1:
+            text, _ = self.bundle.transcribe_beam(
+                pcm, beam_width=self.beam_width, use_lm=self.use_lm
+            )
+        else:
+            text, _ = self.bundle.transcribe(pcm)
         self.timings.record("transcribe", time.perf_counter() - t1)
         return proto.Transcript(data=text)
 
@@ -106,12 +114,15 @@ class ASRServicer:
                 self.engine.close_slot(slot)
 
 
-def make_server(bundle, port: int, workers: int = 4, engine=None):
+def make_server(bundle, port: int, workers: int = 4, engine=None,
+                beam_width: int = 0, use_lm: bool = False):
     """grpc server with hand-rolled method handlers (no generated stubs;
     the image lacks grpc_tools)."""
     import grpc
 
-    servicer = ASRServicer(bundle, engine=engine)
+    servicer = ASRServicer(
+        bundle, engine=engine, beam_width=beam_width, use_lm=use_lm
+    )
     handlers = {
         "Transcribe": grpc.unary_unary_rpc_method_handler(
             servicer.Transcribe,
@@ -132,16 +143,21 @@ def make_server(bundle, port: int, workers: int = 4, engine=None):
     return server, servicer
 
 
-def serve(lang: str = "en", port: int | None = None, config: str | None = None):
+def serve(lang: str = "en", port: int | None = None, config: str | None = None,
+          bundle_path: str | None = None, beam: int = 0, use_lm: bool = False):
     from ..api import ASRBundle
     from ..config import parse_and_apply_config
 
-    conf = parse_and_apply_config(inference=True, lang=lang, path=config)
-    bundle = ASRBundle.from_config(conf, lang_name=lang)
+    if bundle_path:
+        bundle = ASRBundle.from_bundle(bundle_path, lang_name=lang)
+    else:
+        conf = parse_and_apply_config(inference=True, lang=lang, path=config)
+        bundle = ASRBundle.from_config(conf, lang_name=lang)
     port = port or LANG_PORTS.get(lang, 50051)
-    server, _ = make_server(bundle, port)
+    server, _ = make_server(bundle, port, beam_width=beam, use_lm=use_lm)
     server.start()
-    print(f"[api-server] lang={lang} listening on :{port}")
+    print(f"[api-server] lang={lang} listening on :{port}"
+          + (f" (beam={beam})" if beam > 1 else ""))
     server.wait_for_termination()
 
 
@@ -150,8 +166,11 @@ def main(argv=None):
     p.add_argument("--lang", default="en")
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--config", default=None)
+    p.add_argument("--bundle", default=None, help="release tar.gz to serve")
+    p.add_argument("--beam", type=int, default=0, help="beam width for unary Transcribe")
+    p.add_argument("--use-lm", action="store_true")
     a = p.parse_args(argv)
-    serve(a.lang, a.port, a.config)
+    serve(a.lang, a.port, a.config, a.bundle, a.beam, a.use_lm)
 
 
 if __name__ == "__main__":
