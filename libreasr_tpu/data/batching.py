@@ -130,19 +130,46 @@ class BucketBatcher:
 
 class ASRDataset:
     """Builder + pipeline + batcher = iterable of Batches (the
-    ASRDatabunch equivalent, data.py:470)."""
+    ASRDatabunch equivalent, data.py:470).
 
-    def __init__(self, builder, pipeline, batcher):
+    The host pipeline (file I/O, resampling, augs) runs in a thread pool
+    (the reference's DataLoader `num_workers`; threads suffice here
+    because audio decode/resample are GIL-releasing ctypes calls into
+    the native library), with a bounded prefetch window.
+    """
+
+    def __init__(self, builder, pipeline, batcher, num_workers: int = 0,
+                 prefetch: int = 64):
         self.builder = builder
         self.pipeline = pipeline
         self.batcher = batcher
+        self.num_workers = num_workers
+        self.prefetch = prefetch
 
     def _items(self):
-        for i in range(len(self.builder)):
-            item = self.pipeline(self.builder.get(i))
-            if item.get("bad"):
-                continue
-            yield item
+        if self.num_workers <= 1:
+            for i in range(len(self.builder)):
+                item = self.pipeline(self.builder.get(i))
+                if item.get("bad"):
+                    continue
+                yield item
+            return
+        import concurrent.futures as cf
+        from collections import deque
+
+        with cf.ThreadPoolExecutor(self.num_workers) as ex:
+            pending: deque = deque()
+            idx = 0
+            n = len(self.builder)
+            while idx < n or pending:
+                while idx < n and len(pending) < self.prefetch:
+                    pending.append(
+                        ex.submit(self.pipeline, self.builder.get(idx))
+                    )
+                    idx += 1
+                item = pending.popleft().result()
+                if not item.get("bad"):
+                    yield item
 
     def __iter__(self) -> Iterator[Batch]:
         return self.batcher.batches(self._items())
@@ -164,4 +191,7 @@ class ASRDataset:
             seed=conf.get("seed", 42),
             drop_last=conf.get("drop_last", False),
         )
-        return cls(builder, pipeline, batcher)
+        return cls(
+            builder, pipeline, batcher,
+            num_workers=conf.get("num_workers", 0),
+        )

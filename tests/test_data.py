@@ -146,6 +146,30 @@ def test_batch_trains(corpus):
     assert n_batches >= 2
 
 
+def test_threaded_pipeline_matches_sequential(corpus):
+    lang, _ = get_language()
+    conf = {
+        "datasets": ["mini"], "dataset_paths": {"mini": corpus},
+        "apply_limits": False, "pcent": {"train": 1.0},
+        "shuffle_builder": {"train": False}, "sr": 16000,
+        "transforms": {
+            "x": [{"name": "OpenAudio"}, {"name": "ChannelCut"}, {"name": "PadderCutter"}],
+            "y": [{"name": "OpenLabel"}, {"name": "Numericalize"}, {"name": "AddLen"}],
+        },
+        "buckets": [{"max_samples": 32000, "y_max": 24, "bs": 2}],
+        "seed": 0, "shuffle": False,
+    }
+    seq = ASRDataset.from_config(conf, lang, "train")
+    par = ASRDataset.from_config({**conf, "num_workers": 4}, lang, "train")
+    items_seq = list(seq._items())
+    items_par = list(par._items())
+    assert len(items_seq) == len(items_par)
+    # FIFO prefetch preserves order; deterministic stages -> same data
+    for a, b in zip(items_seq, items_par):
+        np.testing.assert_array_equal(a["audio"], b["audio"])
+        assert a["ids"] == b["ids"]
+
+
 def test_pick_bucket():
     bl = [Bucket(100, 10, 4), Bucket(200, 20, 2)]
     assert pick_bucket(bl, 50, 5) == bl[0]
