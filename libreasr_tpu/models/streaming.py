@@ -2,19 +2,24 @@
 
 The reference serves one utterance per gRPC thread with Python-loop
 decoding and object state (api-server.py:82-135, models.py:457-577) — it
-cannot batch streams. Here all N active streams advance in lockstep in a
-single device program:
+cannot batch streams, and its frontend re-computes a 240 ms spectrogram
+window per 80 ms slide and crops the middle third (api-server.py:95-115,
+transforms.py:326-342), i.e. 3x redundant FFT work plus window-boundary
+artifacts.
 
-  raw 240 ms audio windows [N, W]
-    -> log-mel -> middle-third crop (StreamPostprocess) -> stack/downsample
-    -> one encoder step (carried state)
-    -> greedy decode frames (carried decode state, max_iters=10)
-    -> newly emitted tokens per stream
+Here all N active streams advance in lockstep in a single device
+program, and the frontend is *incremental and exact*: the stream carries
+(n_fft/2 + d*hop) samples and (n_stack - downsample + d) mel frames so
+each 80 ms chunk computes exactly its 8 new mel frames and emits exactly
+one 1280-dim stacked encoder frame — identical (bit-for-bit, after the
+zero-carry warmup) to the features batch transcription computes over the
+whole signal. Algorithmic latency is ~40 ms instead of the reference's
+240 ms window.
 
-State (encoder carry, predictor carry, LM carry, last token) lives on
-device between chunks; per-stream reset (the server's silence THRESH
-auto-reset, api-server.py:23-50) is a masked in-program state swap, no
-host round-trip.
+State (sample/mel carries, encoder carry, predictor carry, last token)
+lives on device between chunks; per-stream reset (the server's silence
+THRESH auto-reset, api-server.py:23-50) is a masked in-program state
+swap, no host round-trip.
 """
 
 from __future__ import annotations
@@ -26,12 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.frontend import (
-    FrontendConfig,
-    log_mel_spectrogram,
-    stack_downsample,
-    stream_postprocess,
-)
+from ..ops.frontend import FrontendConfig, hann_window_padded, mel_filterbank
 from .decode import DecodeState, DecoderFns, decode_frame, init_decode_state
 from .transducer import learnable_states
 
@@ -40,8 +40,7 @@ from .transducer import learnable_states
 class StreamingConfig:
     sr: int = 16000
     chunk_ms: int = 80           # wire chunk (api-client.py:14)
-    buffer_n_frames: int = 3     # sliding window size (api-server.py:26)
-    n_buffer: int = 1            # encoder frames per device step
+    n_buffer: int = 1            # chunks per device step (latency/thpt knob)
     max_iters: int = 10          # tokens per frame bound (models.py:458)
     reset_thresh_ms: int = 4000  # silence auto-reset (api-server.py:23)
     max_tokens_per_step: int = 32
@@ -50,15 +49,38 @@ class StreamingConfig:
     def chunk_samples(self) -> int:
         return self.sr * self.chunk_ms // 1000
 
-    @property
-    def window_samples(self) -> int:
-        return self.chunk_samples * self.buffer_n_frames
+
+def _stream_geometry(fe: FrontendConfig, chunk_samples: int):
+    """Carry sizes for the exact incremental frontend.
+
+    With hop h, window w (center c = w//2), C = chunk samples:
+    - frames per chunk F = C/h;
+    - frame delay d = ceil((w - c)/h) - 1 so every emitted frame's
+      window is fully available;
+    - sample carry = d*h + c;
+    - mel carry = n_stack - downsample + d (one stacked frame per chunk).
+    """
+    h = fe.hop
+    w = fe.n_fft
+    c = w // 2
+    assert chunk_samples % h == 0, "chunk must be a multiple of the hop"
+    frames = chunk_samples // h
+    assert frames == fe.downsample, (
+        "exact streaming assumes chunk advances one stacked frame "
+        f"(frames/chunk {frames} == downsample {fe.downsample})"
+    )
+    d = -(-(w - c) // h) - 1
+    sample_carry = d * h + c
+    mel_carry = fe.n_stack - fe.downsample + d
+    return frames, d, sample_carry, mel_carry
 
 
 class StreamState(NamedTuple):
     enc_state: Any
     decode: DecodeState
-    started: jax.Array  # [N] bool — slot has been (re)initialized
+    sample_carry: jax.Array  # [N, d*hop + n_fft/2]
+    mel_carry: jax.Array     # [N, n_stack - downsample + d, n_mels]
+    started: jax.Array       # [N] bool — slot has been (re)initialized
 
 
 class StreamingEngine:
@@ -78,6 +100,10 @@ class StreamingEngine:
         self.fns: DecoderFns = bundle.decoder_fns(use_lm)
         self.cfg = bundle.cfg
         self.frontend: FrontendConfig = bundle.frontend
+        (self._frames_per_chunk, self._delay, self._sample_carry_len,
+         self._mel_carry_len) = _stream_geometry(
+            self.frontend, self.scfg.chunk_samples
+        )
         # variables enter as a jit argument (arg 0), state is donated
         self._step = jax.jit(self._build_step(), donate_argnums=(1,))
         self.state: StreamState | None = None
@@ -90,23 +116,28 @@ class StreamingEngine:
 
     # ------------------------------------------------------------------
 
-    def _fresh_state(self) -> StreamState:
-        n, cfg = self.n, self.cfg
-        dec = init_decode_state(
-            self.fns, n, cfg.vocab_sz, bos=cfg.bos,
-            max_tokens=self.scfg.max_tokens_per_step,
-        )
-        enc_state = None  # filled lazily by first encode (learnable h0)
-        return dec, enc_state
-
     def _build_step(self):
         scfg, cfg = self.scfg, self.cfg
         fe = self.frontend
         bundle = self.bundle
         use_lm = self.use_lm
+        hop, n_fft = fe.hop, fe.n_fft
+        frames_pc = self._frames_per_chunk
+        sc_len, mc_len = self._sample_carry_len, self._mel_carry_len
+        window = jnp.asarray(hann_window_padded(int(fe.win_length * fe.sr), n_fft))
+        fbank = jnp.asarray(mel_filterbank(n_fft // 2 + 1, fe.n_mels, fe.sr))
+        frame_idx = np.arange(frames_pc)[:, None] * hop + np.arange(n_fft)[None, :]
 
-        def step(variables, state: StreamState, windows, valid, reset, fresh_dec):
-            """windows: [N, n_buffer, W] raw pcm; valid/reset: [N] bool.
+        def mel_chunk(sample_carry, chunk):
+            """[N, sc] + [N, C] -> (mel [N, F, M], new sample carry)."""
+            buf = jnp.concatenate([sample_carry, chunk], axis=1)
+            frames = buf[:, frame_idx] * window          # [N, F, n_fft]
+            spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1)) ** 2
+            mel = jnp.log(spec @ fbank + 1e-6)
+            return mel, buf[:, -sc_len:]
+
+        def step(variables, state: StreamState, chunks, valid, reset, fresh_dec):
+            """chunks: [N, n_buffer, C] raw pcm; valid/reset: [N] bool.
             fresh_dec: BOS-primed DecodeState (computed once on host)."""
             fns = bundle.decoder_fns(use_lm, variables=variables)
 
@@ -116,18 +147,7 @@ class StreamingEngine:
                     method=type(bundle.model).encode,
                 )
 
-            n = windows.shape[0]
-            # --- frontend (on device) ---------------------------------
-            mel = log_mel_spectrogram(
-                windows, sr=fe.sr, n_fft=fe.n_fft,
-                win_length=fe.win_length, hop_length=fe.hop_length,
-                n_mels=fe.n_mels,
-            )                                             # [N, B, Tm, M]
-            mid = stream_postprocess(mel, n_stack=fe.n_stack)
-            feats = stack_downsample(
-                mid, n_stack=fe.n_stack, downsample=fe.downsample
-            )                                             # [N, B, 1, F]
-            feats = feats.reshape(n, -1, feats.shape[-1])  # [N, B, F]
+            n = chunks.shape[0]
 
             # --- per-stream reset (masked state swap) ------------------
             do_reset = reset | ~state.started
@@ -137,22 +157,33 @@ class StreamingEngine:
                 return jnp.where(m, a, b)
 
             dec = jax.tree_util.tree_map(sel, fresh_dec, state.decode)
-            # reset encoder carry to the learnable h0 (what encode with
-            # state=None would use)
             enc_h0 = learnable_states(
                 variables["params"], "encoder", n, cfg.enc_num_layers
             )
             enc_state = jax.tree_util.tree_map(sel, enc_h0, state.enc_state)
+            sample_carry = sel(jnp.zeros_like(state.sample_carry),
+                               state.sample_carry)
+            mel_carry = sel(jnp.zeros_like(state.mel_carry), state.mel_carry)
 
-            # fresh decode buffers each step: emissions are per-chunk
+            # fresh decode buffers each step: emissions are per-step
             dec = dec._replace(
                 y_buf=jnp.zeros_like(dec.y_buf), y_len=jnp.zeros_like(dec.y_len)
             )
 
-            # --- encoder step ------------------------------------------
-            enc_out, enc_state = encode_step(feats, enc_state)
+            # --- incremental frontend: one stacked frame per chunk ------
+            stacked_frames = []
+            for b in range(chunks.shape[1]):
+                mel, sample_carry = mel_chunk(sample_carry, chunks[:, b])
+                allmel = jnp.concatenate([mel_carry, mel], axis=1)
+                win = allmel[:, : fe.n_stack, :]           # [N, K, M]
+                stacked_frames.append(
+                    jnp.swapaxes(win, 1, 2).reshape(n, -1)  # feature-major
+                )
+                mel_carry = allmel[:, fe.downsample :, :]
+            feats = jnp.stack(stacked_frames, axis=1)       # [N, nb, F]
 
-            # --- decode the chunk's frames ------------------------------
+            # --- encoder step + decode ----------------------------------
+            enc_out, enc_state = encode_step(feats, enc_state)
             for t in range(feats.shape[1]):
                 dec = decode_frame(
                     fns, dec, enc_out[:, t, :], valid,
@@ -161,7 +192,9 @@ class StreamingEngine:
             new_state = StreamState(
                 enc_state=enc_state,
                 decode=dec,
-                started=jnp.ones((n,), bool),
+                sample_carry=sample_carry,
+                mel_carry=mel_carry,
+                started=state.started | valid | reset,
             )
             return new_state, (dec.y_buf, dec.y_len)
 
@@ -171,26 +204,34 @@ class StreamingEngine:
 
     def _ensure_state(self):
         if self.state is None:
-            dec, _ = self._fresh_state()
+            dec = init_decode_state(
+                self.fns, self.n, self.cfg.vocab_sz, bos=self.cfg.bos,
+                max_tokens=self.scfg.max_tokens_per_step,
+            )
             # the engine state is donated each step — the kept fresh
             # template must own distinct buffers
             self._fresh_dec = jax.tree_util.tree_map(
                 lambda x: jnp.array(x, copy=True), dec
             )
-            # build a concrete zero enc state by tracing one encode
             feats0 = jnp.zeros((self.n, 1, self.frontend.feature_sz))
-            _, enc_state = self.bundle.encode(feats0, jnp.ones((self.n,), jnp.int32))
+            _, enc_state = self.bundle.encode(
+                feats0, jnp.ones((self.n,), jnp.int32)
+            )
             enc_state = jax.tree_util.tree_map(jnp.zeros_like, enc_state)
             self.state = StreamState(
                 enc_state=enc_state,
                 decode=dec,
+                sample_carry=jnp.zeros((self.n, self._sample_carry_len)),
+                mel_carry=jnp.zeros(
+                    (self.n, self._mel_carry_len, self.frontend.n_mels)
+                ),
                 started=jnp.zeros((self.n,), bool),
             )
 
-    def step_batch(self, windows: np.ndarray, valid=None, reset=None):
-        """Advance all streams one chunk. windows: [N, n_buffer, W].
+    def step_batch(self, chunks: np.ndarray, valid=None, reset=None):
+        """Advance all streams. chunks: [N, n_buffer, chunk_samples].
 
-        Returns (tokens [N, K], token_lengths [N]) — this chunk's
+        Returns (tokens [N, K], token_lengths [N]) — this step's
         emissions per stream.
         """
         self._ensure_state()
@@ -200,7 +241,7 @@ class StreamingEngine:
         self.state, (toks, lens) = self._step(
             self.bundle.variables,
             self.state,
-            jnp.asarray(windows),
+            jnp.asarray(chunks),
             jnp.asarray(valid),
             jnp.asarray(reset),
             self._fresh_dec,
@@ -229,26 +270,23 @@ class StreamingEngine:
 
     def feed(self, slot: int, pcm: np.ndarray) -> str:
         """Feed pcm into a slot; runs device steps for every complete
-        sliding window across all slots; returns newly decoded text for
+        80 ms chunk across all slots; returns newly decoded text for
         this slot."""
         scfg = self.scfg
+        c = scfg.chunk_samples
         self.sample_buf[slot] = np.concatenate([self.sample_buf[slot], pcm])
         new_text = []
-        # fire while this slot has a full window; other slots join with
-        # whatever they have (valid-masked)
-        while len(self.sample_buf[slot]) >= scfg.window_samples:
-            windows = np.zeros(
-                (self.n, scfg.n_buffer, scfg.window_samples), np.float32
-            )
+        while len(self.sample_buf[slot]) >= c * scfg.n_buffer:
+            chunks = np.zeros((self.n, scfg.n_buffer, c), np.float32)
             valid = np.zeros(self.n, bool)
             for i in range(self.n):
-                if self.active[i] and len(self.sample_buf[i]) >= scfg.window_samples:
-                    windows[i, 0] = self.sample_buf[i][: scfg.window_samples]
-                    # slide by one chunk (api-server.py:95-115)
-                    self.sample_buf[i] = self.sample_buf[i][scfg.chunk_samples :]
+                if self.active[i] and len(self.sample_buf[i]) >= c * scfg.n_buffer:
+                    take = self.sample_buf[i][: c * scfg.n_buffer]
+                    chunks[i] = take.reshape(scfg.n_buffer, c)
+                    self.sample_buf[i] = self.sample_buf[i][c * scfg.n_buffer :]
                     valid[i] = True
             reset = self._pending_reset & valid
-            toks, lens = self.step_batch(windows, valid, reset)
+            toks, lens = self.step_batch(chunks, valid, reset)
             self._pending_reset_arr[valid] = False
             for i in np.nonzero(valid)[0]:
                 ids = list(toks[i, : lens[i]])
@@ -258,7 +296,7 @@ class StreamingEngine:
                     if i == slot:
                         new_text.append(self.bundle.lang.denumericalize(ids))
                 else:
-                    self.silence_ms[i] += scfg.chunk_ms
+                    self.silence_ms[i] += scfg.chunk_ms * scfg.n_buffer
                     if self.silence_ms[i] >= scfg.reset_thresh_ms:
                         self._pending_reset_arr[i] = True
                         self.silence_ms[i] = 0

@@ -1,5 +1,5 @@
-"""Streaming engine tests: batched slot independence, reset semantics,
-windowing cadence."""
+"""Streaming engine tests: exact feature parity with batch processing,
+batched slot independence, reset semantics, chunk cadence."""
 
 import numpy as np
 import pytest
@@ -24,15 +24,85 @@ def bundle():
     return ASRBundle.from_config(conf)
 
 
+def reference_stream_features(bundle, audio, n_chunks):
+    """Independent construction of the exact-streaming features: mel
+    frames over [zeros(sample_carry), audio] without center padding,
+    prepended with zero mel frames for the mel carry, then stacked."""
+    import jax.numpy as jnp
+
+    from libreasr_tpu.models.streaming import _stream_geometry
+    from libreasr_tpu.ops.frontend import hann_window_padded, mel_filterbank
+
+    fe = bundle.frontend
+    frames_pc, d, sc, mc = _stream_geometry(fe, 1280)
+    sig = np.concatenate([np.zeros(sc, np.float32), audio[: n_chunks * 1280]])
+    window = hann_window_padded(int(fe.win_length * fe.sr), fe.n_fft)
+    fb = mel_filterbank(fe.n_fft // 2 + 1, fe.n_mels, fe.sr)
+    n_frames = (len(sig) - fe.n_fft) // fe.hop + 1
+    frames = np.stack(
+        [sig[i * fe.hop : i * fe.hop + fe.n_fft] * window for i in range(n_frames)]
+    )
+    mel = np.log(np.abs(np.fft.rfft(frames, fe.n_fft, axis=-1)) ** 2 @ fb + 1e-6)
+    mel = np.concatenate([np.zeros((mc, fe.n_mels)), mel])
+    stacked = []
+    for m in range(n_chunks):
+        win = mel[m * fe.downsample : m * fe.downsample + fe.n_stack]
+        stacked.append(win.T.reshape(-1))  # feature-major
+    return np.stack(stacked)[None].astype(np.float32)  # [1, n_chunks, F]
+
+
+def test_streaming_equals_batch_decode(bundle, rng):
+    """The engine's chunked decode must equal full-sequence encode+greedy
+    over the exact same features — the streaming==batch invariant."""
+    import jax.numpy as jnp
+
+    from libreasr_tpu.models.decode import greedy_decode
+
+    n_chunks = 8
+    audio = (rng.standard_normal(n_chunks * 1280) * 0.1).astype(np.float32)
+    eng = StreamingEngine(bundle, n_streams=1)
+    got = []
+    for k in range(n_chunks):
+        toks, lens = eng.step_batch(audio[k * 1280 : (k + 1) * 1280][None, None])
+        got.extend(toks[0, : lens[0]])
+
+    feats = jnp.asarray(reference_stream_features(bundle, audio, n_chunks))
+    enc_out, _ = bundle.encode(feats, jnp.array([n_chunks]))
+    fns = bundle.decoder_fns(False)
+    toks, lens, _, _ = greedy_decode(
+        fns, enc_out, jnp.array([n_chunks]), vocab_sz=bundle.cfg.vocab_sz,
+        blank=bundle.cfg.blank, bos=bundle.cfg.bos,
+        max_iters=eng.scfg.max_iters,
+        # random weights emit ~max_iters tokens/frame — don't cap below
+        # what the engine (fresh 32-token buffer per chunk) can emit
+        max_tokens=eng.scfg.max_iters * n_chunks + 8,
+    )
+    want = list(np.asarray(toks)[0, : int(lens[0])])
+    assert got == want
+
+
 def test_step_batch_shapes(bundle, rng):
     eng = StreamingEngine(bundle, n_streams=4)
-    w = rng.standard_normal(
-        (4, 1, eng.scfg.window_samples)
-    ).astype(np.float32)
-    toks, lens = eng.step_batch(w)
+    c = rng.standard_normal((4, 1, eng.scfg.chunk_samples)).astype(np.float32)
+    toks, lens = eng.step_batch(c)
     assert toks.shape == (4, eng.scfg.max_tokens_per_step)
-    assert lens.shape == (4,)
     assert (lens <= eng.scfg.max_tokens_per_step).all()
+
+
+def test_n_buffer_grouping_matches_single(bundle, rng):
+    """Processing 2 chunks in one step == 2 single-chunk steps."""
+    audio = (rng.standard_normal((4, 1280)) * 0.1).astype(np.float32)
+    e1 = StreamingEngine(bundle, n_streams=1)
+    t1a, l1a = e1.step_batch(audio[0][None, None])
+    t1b, l1b = e1.step_batch(audio[1][None, None])
+    single = list(t1a[0, : l1a[0]]) + list(t1b[0, : l1b[0]])
+
+    e2 = StreamingEngine(
+        bundle, n_streams=1,
+        scfg=StreamingConfig(sr=bundle.frontend.sr, n_buffer=2),
+    )
+    t2, l2 = e2.step_batch(audio[:2][None])
+    assert list(t2[0, : l2[0]]) == single
 
 
 def test_slots_are_independent(bundle, rng):
@@ -40,60 +110,23 @@ def test_slots_are_independent(bundle, rng):
     even while other slots process different audio."""
     eng = StreamingEngine(bundle, n_streams=4)
     s1, s2, s3 = eng.open_slot(), eng.open_slot(), eng.open_slot()
-    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
-    other = (rng.standard_normal(16000) * 0.3).astype(np.float32)
-    step = eng.scfg.chunk_samples
-    for i in range(0, 16000 - eng.scfg.window_samples, step):
-        eng.feed(s3, other[i : i + step])
-        eng.feed(s1, audio[i : i + step])
-        eng.feed(s2, audio[i : i + step])
+    audio = (rng.standard_normal(1280 * 10) * 0.1).astype(np.float32)
+    other = (rng.standard_normal(1280 * 10) * 0.3).astype(np.float32)
+    for i in range(0, len(audio), 1280):
+        eng.feed(s3, other[i : i + 1280])
+        eng.feed(s1, audio[i : i + 1280])
+        eng.feed(s2, audio[i : i + 1280])
     assert eng.transcript(s1) == eng.transcript(s2)
-
-
-def test_streaming_continuation_matches_manual(bundle, rng):
-    """step_batch over two consecutive windows == carrying encoder and
-    decode state manually through bundle.encode + greedy."""
-    import jax.numpy as jnp
-    from libreasr_tpu.models.decode import greedy_decode
-    from libreasr_tpu.ops import frontend as fe
-
-    eng = StreamingEngine(bundle, n_streams=1)
-    w = rng.standard_normal((2, eng.scfg.window_samples)).astype(np.float32) * 0.1
-
-    t1, l1 = eng.step_batch(w[None, 0:1])
-    t2, l2 = eng.step_batch(w[None, 1:2])
-    got = list(t1[0, : l1[0]]) + list(t2[0, : l2[0]])
-
-    # manual: same frontend per window, one continuous encode+decode
-    feats = []
-    for i in range(2):
-        mel = fe.log_mel_spectrogram(jnp.asarray(w[i]))
-        mid = fe.stream_postprocess(mel, n_stack=10)
-        feats.append(fe.stack_downsample(mid, n_stack=10, downsample=8))
-    feats = jnp.stack(feats)[None, :, 0, :]  # [1, 2, F]
-    enc_out, _ = bundle.encode(feats, jnp.array([2]))
-    fns = bundle.decoder_fns(False)
-    toks, lens, _, _ = greedy_decode(
-        fns, enc_out, jnp.array([2]), vocab_sz=bundle.cfg.vocab_sz,
-        blank=bundle.cfg.blank, bos=bundle.cfg.bos,
-        max_iters=eng.scfg.max_iters, max_tokens=32,
-    )
-    want = list(np.asarray(toks)[0, : int(lens[0])])
-    assert got == want
 
 
 def test_reset_restores_fresh_state(bundle, rng):
     eng = StreamingEngine(bundle, n_streams=2)
-    w1 = rng.standard_normal((2, 1, eng.scfg.window_samples)).astype(np.float32)
-    w2 = rng.standard_normal((2, 1, eng.scfg.window_samples)).astype(np.float32)
-    # stream 0: w1 then w2-with-reset; stream 1: w2 fresh from start
+    w1 = rng.standard_normal((2, 1, 1280)).astype(np.float32)
+    w2 = rng.standard_normal((2, 1, 1280)).astype(np.float32)
     eng.step_batch(w1)
-    toks_a, lens_a = eng.step_batch(
-        w2, reset=np.array([True, False])
-    )
+    toks_a, lens_a = eng.step_batch(w2, reset=np.array([True, False]))
     eng2 = StreamingEngine(bundle, n_streams=2)
     toks_b, lens_b = eng2.step_batch(w2)
-    # stream 0 after reset == stream 0 fresh
     np.testing.assert_array_equal(
         toks_a[0, : lens_a[0]], toks_b[0, : lens_b[0]]
     )
