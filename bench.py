@@ -33,14 +33,14 @@ def build_bundle():
 
 
 def time_engine(bundle, n_streams: int, iters: int = 20, n_buffer: int = 1) -> float:
-    """Median wall seconds per batched stream step (n_buffer 80 ms slides)."""
+    """Median wall seconds per batched stream step (n_buffer 80 ms chunks)."""
     from libreasr_tpu.models.streaming import StreamingConfig, StreamingEngine
 
     scfg = StreamingConfig(sr=bundle.frontend.sr, n_buffer=n_buffer)
     eng = StreamingEngine(bundle, n_streams=n_streams, scfg=scfg)
     rng = np.random.default_rng(0)
     w = rng.standard_normal(
-        (n_streams, eng.scfg.n_buffer, eng.scfg.window_samples)
+        (n_streams, eng.scfg.n_buffer, eng.scfg.chunk_samples)
     ).astype(np.float32) * 0.1
     # warmup / compile
     for _ in range(3):

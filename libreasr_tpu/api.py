@@ -9,7 +9,6 @@ feature->encode->decode program once, and exposes `transcribe` /
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

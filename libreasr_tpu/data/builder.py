@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-import numpy as np
 import pandas as pd
 
 CSV_COLUMNS = ["file", "xstart", "xlen", "label", "ylen", "sr", "bad"]

@@ -15,7 +15,6 @@ re-argmax — applied only when the raw joint argmax was non-blank.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

@@ -9,8 +9,6 @@ streaming decode.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

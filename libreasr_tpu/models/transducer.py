@@ -13,7 +13,7 @@ Differences from the reference are all TPU-motivated:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import flax.linen as nn

@@ -17,8 +17,6 @@ import time
 from collections import defaultdict
 from concurrent import futures
 
-import numpy as np
-
 from ..utils import tensorize
 from . import proto
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.ctc import CTCConfig, CTCModel, ctc_decode_greedy, ctc_loss
+from ..models.ctc import CTCModel, ctc_decode_greedy, ctc_loss
 from ..ops.frontend import FrontendConfig, features_batch
 from .learner import Batch
 from .metrics import cer, wer
