@@ -90,8 +90,17 @@ class ASRServicer:
     def TranscribeStream(self, request_iterator, context=None):
         """80 ms wire chunks in -> transcript diffs out (api-server.py:82-135).
         Duplicate-diff suppression matches the reference (:122-132)."""
-        with self._lock:
-            slot = self.engine.open_slot()
+        try:
+            with self._lock:
+                slot = self.engine.open_slot()
+        except RuntimeError:
+            if context is not None:
+                import grpc
+
+                context.abort(
+                    grpc.StatusCode.RESOURCE_EXHAUSTED, "no free stream slots"
+                )
+            raise
         last = ""
         try:
             for msg in request_iterator:

@@ -59,7 +59,9 @@ class LossConfig:
     zero_nan: bool = True
     div_by_len: bool = False
     keep_best_pcent: float = -0.75
-    fused: bool = False     # fused joint+loss (no [N,T,U,V] lattice)
+    entropy_loss: bool = False   # + mean lattice entropy (loss.py:111-115)
+    zero_loss: bool = False      # blank-logit magnitude reg (loss.py:116-120)
+    fused: bool = False          # fused joint+loss (no [N,T,U,V] lattice)
     t_chunk: int = 16
 
     @classmethod
@@ -69,6 +71,8 @@ class LossConfig:
             zero_nan=l.get("zero_nan", True),
             div_by_len=l.get("div_by_len", False),
             keep_best_pcent=l.get("keep_best_pcent", -0.75),
+            entropy_loss=l.get("entropy_loss", False),
+            zero_loss=l.get("zero_loss", False),
             fused=l.get("fused", False),
             t_chunk=l.get("t_chunk", 16),
         )
@@ -216,6 +220,17 @@ def make_train_step(
             if loss_cfg.zero_nan:
                 logits = jnp.nan_to_num(logits, nan=0.0, posinf=0.0, neginf=0.0)
             per_seq = loss_impl(logits, y, flens_red, yl)
+            if loss_cfg.entropy_loss:
+                # mean per-(t,u) entropy of the joint distribution
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                ent = -jnp.sum(jnp.exp(logp) * logp, axis=-1)  # [N,T,U1]
+                per_seq = per_seq + ent.mean(axis=(1, 2))
+            if loss_cfg.zero_loss:
+                # penalize small blank logits (reference loss.py:116-120)
+                zl = (1.0 / (jnp.abs(logits[..., 0]) + 1e-5)).mean(
+                    axis=(1, 2)
+                ) * yl.astype(logits.dtype)
+                per_seq = per_seq + zl
             if loss_cfg.div_by_len:
                 per_seq = per_seq / (yl.astype(per_seq.dtype) + 1e-5)
             if 0.0 <= loss_cfg.keep_best_pcent < 1.0:

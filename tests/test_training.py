@@ -107,6 +107,29 @@ def test_carry_updates_across_steps(rng):
     assert np.abs(np.asarray(carry.enc_state[0][0])).sum() > 0
 
 
+def test_loss_shaping_options(rng):
+    """entropy/zero loss regularizers change the loss and keep it finite
+    (reference loss.py:111-129)."""
+    cfg = tiny_cfg(enc_dropout=0.0, pred_dropout=0.0, use_tmp_state_pcent=0.0)
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    batch = feature_batch(rng)
+    losses = {}
+    for name, lc in [
+        ("plain", LossConfig()),
+        ("entropy", LossConfig(entropy_loss=True)),
+        ("zero", LossConfig(zero_loss=True)),
+        ("div", LossConfig(div_by_len=True)),
+    ]:
+        var_c = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
+        l = Learner(model, var_c, build_optimizer("adam", 1e-3),
+                    frontend=None, loss_cfg=lc, seed=5)
+        losses[name] = float(l.step(batch)["loss"])
+    assert all(np.isfinite(v) for v in losses.values())
+    assert losses["entropy"] > losses["plain"]
+    assert losses["zero"] > losses["plain"]
+    assert losses["div"] < losses["plain"]
+
+
 def test_fused_loss_step_matches_unfused(rng):
     """The fused joint+loss train step must produce the same loss and
     the same updated params as the lattice path (dropout off)."""
