@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.frontend import FrontendConfig, hann_window_padded, mel_filterbank
+from .beam import BeamState, beam_frame, init_beam_state
 from .decode import DecodeState, DecoderFns, decode_frame, init_decode_state
 from .transducer import learnable_states
 
@@ -44,6 +45,12 @@ class StreamingConfig:
     max_iters: int = 10          # tokens per frame bound (models.py:458)
     reset_thresh_ms: int = 4000  # silence auto-reset (api-server.py:23)
     max_tokens_per_step: int = 32
+    # streaming beam search (net-new vs the reference, which streams
+    # greedily): tokens are committed once every live beam agrees on
+    # them (prefix agreement), so partials never retract
+    beam_width: int = 0          # 0/1 = greedy
+    beam_buf_tokens: int = 64    # per-beam uncommitted-token window
+    lm_alpha: float = 0.1
 
     @property
     def chunk_samples(self) -> int:
@@ -77,10 +84,48 @@ def _stream_geometry(fe: FrontendConfig, chunk_samples: int):
 
 class StreamState(NamedTuple):
     enc_state: Any
-    decode: DecodeState
+    decode: DecodeState | "BeamState"
     sample_carry: jax.Array  # [N, d*hop + n_fft/2]
     mel_carry: jax.Array     # [N, n_stack - downsample + d, n_mels]
     started: jax.Array       # [N] bool — slot has been (re)initialized
+
+
+def _beam_committed_prefix(beam: BeamState):
+    """Longest token prefix agreed by every live beam, per stream.
+
+    Returns (tokens [N, L] from the best beam, lengths [N], shifted
+    BeamState with the committed prefix dropped from every buffer)."""
+    n, k, cap = beam.y_buf.shape
+    live = beam.scores > -1e29                     # [N, K]
+    best = jnp.argmax(beam.scores, axis=1)         # [N]
+    ref = jnp.take_along_axis(beam.y_buf, best[:, None, None], axis=1)  # [N,1,cap]
+    ref_len = jnp.take_along_axis(beam.y_len, best[:, None], axis=1)    # [N,1]
+    pos = jnp.arange(cap)[None, None, :]
+    # beam k agrees at position j if it's dead, or matches ref and has it
+    agree = (
+        (beam.y_buf == ref) & (pos < beam.y_len[:, :, None])
+    ) | ~live[:, :, None]
+    agree_all = jnp.all(agree, axis=1) & (pos[:, 0, :] < ref_len)       # [N,cap]
+    prefix_ok = jnp.cumprod(agree_all.astype(jnp.int32), axis=1)
+    commit_len = prefix_ok.sum(axis=1)             # [N]
+
+    # shift every beam's buffer left by commit_len
+    idx = jnp.arange(cap)[None, None, :] + commit_len[:, None, None]
+    idx = jnp.clip(idx, 0, cap - 1)
+    shifted = jnp.take_along_axis(beam.y_buf, idx, axis=2)
+    keep = (
+        jnp.arange(cap)[None, None, :]
+        < (beam.y_len - commit_len[:, None])[:, :, None]
+    )
+    shifted = jnp.where(keep, shifted, 0)
+    new_beam = beam._replace(
+        y_buf=shifted,
+        y_len=jnp.maximum(beam.y_len - commit_len[:, None], 0),
+    )
+    committed = jnp.where(
+        jnp.arange(cap)[None, :] < commit_len[:, None], ref[:, 0, :], 0
+    )
+    return committed, commit_len, new_beam
 
 
 class StreamingEngine:
@@ -165,10 +210,13 @@ class StreamingEngine:
                                state.sample_carry)
             mel_carry = sel(jnp.zeros_like(state.mel_carry), state.mel_carry)
 
-            # fresh decode buffers each step: emissions are per-step
-            dec = dec._replace(
-                y_buf=jnp.zeros_like(dec.y_buf), y_len=jnp.zeros_like(dec.y_len)
-            )
+            beam = scfg.beam_width > 1
+            if not beam:
+                # fresh decode buffers each step: emissions are per-step
+                dec = dec._replace(
+                    y_buf=jnp.zeros_like(dec.y_buf),
+                    y_len=jnp.zeros_like(dec.y_len),
+                )
 
             # --- incremental frontend: one stacked frame per chunk ------
             stacked_frames = []
@@ -184,11 +232,21 @@ class StreamingEngine:
 
             # --- encoder step + decode ----------------------------------
             enc_out, enc_state = encode_step(feats, enc_state)
-            for t in range(feats.shape[1]):
-                dec = decode_frame(
-                    fns, dec, enc_out[:, t, :], valid,
-                    blank=cfg.blank, max_iters=scfg.max_iters,
-                )
+            if beam:
+                for t in range(feats.shape[1]):
+                    dec = beam_frame(
+                        fns, dec, enc_out[:, t, :], valid,
+                        blank=cfg.blank, max_expand=scfg.max_iters,
+                        lm_alpha=scfg.lm_alpha,
+                    )
+                toks, lens, dec = _beam_committed_prefix(dec)
+            else:
+                for t in range(feats.shape[1]):
+                    dec = decode_frame(
+                        fns, dec, enc_out[:, t, :], valid,
+                        blank=cfg.blank, max_iters=scfg.max_iters,
+                    )
+                toks, lens = dec.y_buf, dec.y_len
             new_state = StreamState(
                 enc_state=enc_state,
                 decode=dec,
@@ -196,7 +254,7 @@ class StreamingEngine:
                 mel_carry=mel_carry,
                 started=state.started | valid | reset,
             )
-            return new_state, (dec.y_buf, dec.y_len)
+            return new_state, (toks, lens)
 
         return step
 
@@ -204,10 +262,17 @@ class StreamingEngine:
 
     def _ensure_state(self):
         if self.state is None:
-            dec = init_decode_state(
-                self.fns, self.n, self.cfg.vocab_sz, bos=self.cfg.bos,
-                max_tokens=self.scfg.max_tokens_per_step,
-            )
+            if self.scfg.beam_width > 1:
+                dec = init_beam_state(
+                    self.fns, self.n, self.scfg.beam_width,
+                    self.cfg.vocab_sz, bos=self.cfg.bos,
+                    max_tokens=self.scfg.beam_buf_tokens,
+                )
+            else:
+                dec = init_decode_state(
+                    self.fns, self.n, self.cfg.vocab_sz, bos=self.cfg.bos,
+                    max_tokens=self.scfg.max_tokens_per_step,
+                )
             # the engine state is donated each step — the kept fresh
             # template must own distinct buffers
             self._fresh_dec = jax.tree_util.tree_map(
@@ -262,7 +327,24 @@ class StreamingEngine:
         raise RuntimeError("no free stream slots")
 
     def close_slot(self, slot: int):
+        self.flush_slot(slot)
         self.active[slot] = False
+
+    def flush_slot(self, slot: int):
+        """Beam mode: commit the best beam's remaining (uncommitted)
+        tokens when the stream ends."""
+        if self.scfg.beam_width <= 1 or self.state is None:
+            return
+        beam: BeamState = self.state.decode
+        scores = np.asarray(beam.scores[slot])
+        best = int(scores.argmax())
+        n_rest = int(np.asarray(beam.y_len[slot, best]))
+        if n_rest > 0:
+            rest = list(np.asarray(beam.y_buf[slot, best, :n_rest]))
+            self.emitted[slot].extend(int(t) for t in rest)
+            # drop the flushed tokens from the device-side buffers so a
+            # reopened slot starts clean (slot reset handles the rest)
+            self._pending_reset_arr[slot] = True
 
     @property
     def _pending_reset(self):

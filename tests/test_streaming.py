@@ -119,6 +119,37 @@ def test_slots_are_independent(bundle, rng):
     assert eng.transcript(s1) == eng.transcript(s2)
 
 
+def test_streaming_beam_commits_match_batch_beam(bundle, rng):
+    """Streaming beam search: committed tokens + final flush == batch
+    beam_decode over the same features."""
+    import jax.numpy as jnp
+
+    from libreasr_tpu.models.beam import beam_decode
+
+    n_chunks = 6
+    audio = (rng.standard_normal(n_chunks * 1280) * 0.1).astype(np.float32)
+    eng = StreamingEngine(
+        bundle, n_streams=1,
+        scfg=StreamingConfig(sr=bundle.frontend.sr, beam_width=3,
+                             max_iters=3, beam_buf_tokens=64),
+    )
+    s = eng.open_slot()
+    eng.feed(s, audio)
+    eng.close_slot(s)  # flushes uncommitted tokens
+    got = eng.emitted[s]
+
+    feats = jnp.asarray(reference_stream_features(bundle, audio, n_chunks))
+    enc_out, _ = bundle.encode(feats, jnp.array([n_chunks]))
+    fns = bundle.decoder_fns(False)
+    toks, lens, _ = beam_decode(
+        fns, enc_out, jnp.array([n_chunks]), vocab_sz=bundle.cfg.vocab_sz,
+        beam_width=3, blank=bundle.cfg.blank, bos=bundle.cfg.bos,
+        max_expand=3, max_tokens=64,
+    )
+    want = list(np.asarray(toks)[0, : int(lens[0])])
+    assert got == want
+
+
 def test_reset_restores_fresh_state(bundle, rng):
     eng = StreamingEngine(bundle, n_streams=2)
     w1 = rng.standard_normal((2, 1, 1280)).astype(np.float32)
