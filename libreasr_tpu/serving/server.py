@@ -55,11 +55,22 @@ class ASRServicer:
         self.beam_width = beam_width
         self.use_lm = use_lm
         if engine is None:
-            from ..models.streaming import StreamingEngine
+            from ..models.streaming import StreamingConfig, StreamingEngine
 
-            stream_conf = (bundle.conf.get("stream", {}) or {})
+            sc = (bundle.conf.get("stream", {}) or {})
+            scfg = StreamingConfig(
+                sr=bundle.frontend.sr,
+                n_buffer=sc.get("n_buffer", 1),
+                max_iters=sc.get("max_iters", 10),
+                reset_thresh_ms=sc.get("reset_thresh", 4000),
+                beam_width=sc.get("beam_width", 0),
+                lm_alpha=sc.get("lm_alpha", 0.1),
+            )
             engine = StreamingEngine(
-                bundle, n_streams=stream_conf.get("max_streams", max_streams)
+                bundle,
+                n_streams=sc.get("max_streams", max_streams),
+                scfg=scfg,
+                use_lm=use_lm and bundle.lm is not None,
             )
         self.engine = engine
         self._lock = threading.Lock()
