@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.frontend import FrontendConfig, hann_window_padded, mel_filterbank
+from ..ops.frontend import FrontendConfig, dft_mel_matrices
 from .beam import BeamState, beam_frame, init_beam_state
 from .decode import DecodeState, DecoderFns, decode_frame, init_decode_state
 from .transducer import learnable_states
@@ -169,16 +169,25 @@ class StreamingEngine:
         hop, n_fft = fe.hop, fe.n_fft
         frames_pc = self._frames_per_chunk
         sc_len, mc_len = self._sample_carry_len, self._mel_carry_len
-        window = jnp.asarray(hann_window_padded(int(fe.win_length * fe.sr), n_fft))
-        fbank = jnp.asarray(mel_filterbank(n_fft // 2 + 1, fe.n_mels, fe.sr))
+        c_m, s_m, fb_m = dft_mel_matrices(
+            n_fft, fe.n_mels, fe.sr, int(fe.win_length * fe.sr)
+        )
+        c_m, s_m, fb_m = jnp.asarray(c_m), jnp.asarray(s_m), jnp.asarray(fb_m)
         frame_idx = np.arange(frames_pc)[:, None] * hop + np.arange(n_fft)[None, :]
 
         def mel_chunk(sample_carry, chunk):
-            """[N, sc] + [N, C] -> (mel [N, F, M], new sample carry)."""
+            """[N, sc] + [N, C] -> (mel [N, F, M], new sample carry).
+            Windowed real DFT as MXU matmuls (ops/frontend.py)."""
             buf = jnp.concatenate([sample_carry, chunk], axis=1)
-            frames = buf[:, frame_idx] * window          # [N, F, n_fft]
-            spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1)) ** 2
-            mel = jnp.log(spec @ fbank + 1e-6)
+            frames = buf[:, frame_idx]                   # [N, F, n_fft]
+            hi = jax.lax.Precision.HIGHEST  # see ops/frontend.py note
+            re = jnp.dot(frames, c_m, precision=hi)
+            im = jnp.dot(frames, s_m, precision=hi)
+            mel = jnp.log(
+                jnp.dot(re * re + im * im, fb_m,
+                        preferred_element_type=jnp.float32)
+                + 1e-6
+            )
             return mel, buf[:, -sc_len:]
 
         def step(variables, state: StreamState, chunks, valid, reset, fresh_dec):

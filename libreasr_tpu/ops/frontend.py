@@ -60,6 +60,24 @@ def mel_filterbank(
     return fb.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def dft_mel_matrices(n_fft: int, n_mels: int, sr: int, win_length: int):
+    """Windowed real-DFT as two matmuls (MXU path): returns C, S
+    [n_fft, n_freqs] with the Hann window folded in, plus the mel bank.
+
+    |FFT(w*x)|^2 == (x @ C)^2 + (x @ S)^2 — on TPU the MXU matmul
+    formulation beats the generic XLA FFT for these sizes.
+    """
+    k = np.arange(n_fft)[:, None]
+    f = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * k * f / n_fft
+    w = hann_window_padded(win_length, n_fft)[:, None]
+    c = (np.cos(ang) * w).astype(np.float32)
+    s = (-np.sin(ang) * w).astype(np.float32)
+    fb = mel_filterbank(n_fft // 2 + 1, n_mels, sr)
+    return c, s, fb
+
+
 @functools.lru_cache(maxsize=8)
 def hann_window_padded(win_length: int, n_fft: int) -> np.ndarray:
     """Periodic Hann of win_length, zero-padded centered to n_fft
@@ -98,20 +116,34 @@ def log_mel_spectrogram(
     hop_length: float = 0.01,
     n_mels: int = 128,
     log_offset: float = 1e-6,
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """[..., S] float pcm -> [..., T, n_mels] log-mel features.
 
     Matches reference TransformTime (transforms.py:269-313): power
     spectrogram x HTK mel filterbank, then log(x + 1e-6).
+
+    method="matmul" (default) computes the windowed real DFT as two MXU
+    matmuls — the TPU-native formulation; method="fft" uses XLA's FFT.
     """
     wl = int(win_length * sr)
     hl = int(hop_length * sr)
     frames = frame_signal(audio.astype(jnp.float32), n_fft, hl)
-    window = jnp.asarray(hann_window_padded(wl, n_fft))
-    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
-    power = jnp.abs(spec) ** 2                               # [..., T, n_fft//2+1]
-    fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sr))
-    mel = power @ fb                                         # MXU matmul
+    if method == "matmul":
+        c, s, fb = dft_mel_matrices(n_fft, n_mels, sr, wl)
+        # HIGHEST: TPU f32 matmuls default to bf16 multiplies — too
+        # coarse for a DFT (log of small power bins would drift)
+        hi = jax.lax.Precision.HIGHEST
+        re = jnp.dot(frames, jnp.asarray(c), precision=hi)
+        im = jnp.dot(frames, jnp.asarray(s), precision=hi)
+        power = re * re + im * im
+    else:
+        window = jnp.asarray(hann_window_padded(wl, n_fft))
+        spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+        power = jnp.abs(spec) ** 2                           # [..., T, F]
+        n_mels_fb = mel_filterbank(n_fft // 2 + 1, n_mels, sr)
+        return jnp.log(power @ jnp.asarray(n_mels_fb) + log_offset)
+    mel = jnp.dot(power, jnp.asarray(fb), preferred_element_type=jnp.float32)
     return jnp.log(mel + log_offset)
 
 

@@ -31,18 +31,20 @@ def reference_stream_features(bundle, audio, n_chunks):
     import jax.numpy as jnp
 
     from libreasr_tpu.models.streaming import _stream_geometry
-    from libreasr_tpu.ops.frontend import hann_window_padded, mel_filterbank
+    from libreasr_tpu.ops.frontend import dft_mel_matrices
 
     fe = bundle.frontend
     frames_pc, d, sc, mc = _stream_geometry(fe, 1280)
     sig = np.concatenate([np.zeros(sc, np.float32), audio[: n_chunks * 1280]])
-    window = hann_window_padded(int(fe.win_length * fe.sr), fe.n_fft)
-    fb = mel_filterbank(fe.n_fft // 2 + 1, fe.n_mels, fe.sr)
+    c, s, fb = dft_mel_matrices(
+        fe.n_fft, fe.n_mels, fe.sr, int(fe.win_length * fe.sr)
+    )
     n_frames = (len(sig) - fe.n_fft) // fe.hop + 1
     frames = np.stack(
-        [sig[i * fe.hop : i * fe.hop + fe.n_fft] * window for i in range(n_frames)]
+        [sig[i * fe.hop : i * fe.hop + fe.n_fft] for i in range(n_frames)]
     )
-    mel = np.log(np.abs(np.fft.rfft(frames, fe.n_fft, axis=-1)) ** 2 @ fb + 1e-6)
+    power = (frames @ c) ** 2 + (frames @ s) ** 2
+    mel = np.log(power @ fb + 1e-6)
     mel = np.concatenate([np.zeros((mc, fe.n_mels)), mel])
     stacked = []
     for m in range(n_chunks):
