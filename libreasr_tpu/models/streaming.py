@@ -137,9 +137,19 @@ class StreamingEngine:
         n_streams: int = 64,
         scfg: StreamingConfig | None = None,
         use_lm: bool = False,
+        mesh=None,
     ):
+        """mesh: optional jax Mesh — streams shard over its "data" axis
+        so one engine spans multiple chips (serving scale-out; the
+        reference scales serving only by adding processes,
+        Makefile:65-68)."""
         self.bundle = bundle
         self.n = n_streams
+        self.mesh = mesh
+        if mesh is not None:
+            assert n_streams % mesh.shape["data"] == 0, (
+                "n_streams must divide the data axis"
+            )
         self.scfg = scfg or StreamingConfig(sr=bundle.frontend.sr)
         self.use_lm = use_lm
         self.fns: DecoderFns = bundle.decoder_fns(use_lm)
@@ -301,6 +311,14 @@ class StreamingEngine:
                 ),
                 started=jnp.zeros((self.n,), bool),
             )
+            if self.mesh is not None:
+                # stream-axis sharding over "data"; fresh template too
+                from ..parallel.mesh import shard_batch
+
+                self.state = StreamState(*shard_batch(self.mesh, tuple(self.state)))
+                self._fresh_dec = type(self._fresh_dec)(
+                    *shard_batch(self.mesh, tuple(self._fresh_dec))
+                )
 
     def step_batch(self, chunks: np.ndarray, valid=None, reset=None):
         """Advance all streams. chunks: [N, n_buffer, chunk_samples].
@@ -312,12 +330,21 @@ class StreamingEngine:
         n = self.n
         valid = np.ones(n, bool) if valid is None else valid
         reset = np.zeros(n, bool) if reset is None else reset
+        chunks = jnp.asarray(chunks)
+        valid = jnp.asarray(valid)
+        reset = jnp.asarray(reset)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            chunks, valid, reset = shard_batch(
+                self.mesh, (chunks, valid, reset)
+            )
         self.state, (toks, lens) = self._step(
             self.bundle.variables,
             self.state,
-            jnp.asarray(chunks),
-            jnp.asarray(valid),
-            jnp.asarray(reset),
+            chunks,
+            valid,
+            reset,
             self._fresh_dec,
         )
         return np.asarray(toks), np.asarray(lens)

@@ -152,6 +152,24 @@ def test_streaming_beam_commits_match_batch_beam(bundle, rng):
     assert got == want
 
 
+def test_engine_on_mesh_matches_single(bundle, rng):
+    """Streams sharded over the 8-device data axis decode identically to
+    the single-device engine (multi-chip serving scale-out)."""
+    import jax
+
+    from libreasr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8, model=1)
+    chunks = (rng.standard_normal((8, 1, 1280)) * 0.1).astype(np.float32)
+    e1 = StreamingEngine(bundle, n_streams=8)
+    e2 = StreamingEngine(bundle, n_streams=8, mesh=mesh)
+    for _ in range(3):
+        t1, l1 = e1.step_batch(chunks)
+        t2, l2 = e2.step_batch(chunks)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(t1, t2)
+
+
 def test_reset_restores_fresh_state(bundle, rng):
     eng = StreamingEngine(bundle, n_streams=2)
     w1 = rng.standard_normal((2, 1, 1280)).astype(np.float32)
