@@ -104,6 +104,7 @@ def make_train_step(
     frontend: FrontendConfig | None,
     loss_cfg: LossConfig = LossConfig(),
     hutchinson: bool = False,
+    pass_loss_value: bool = False,
 ):
     """Build the jitted train step.
 
@@ -253,6 +254,8 @@ def make_train_step(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
         extra = {}
+        if pass_loss_value:
+            extra["value"] = loss  # reduce_on_plateau consumes this
         if hutchinson:
             rng_z = jax.random.fold_in(rng, 99)
             leaves, treedef = jax.tree_util.tree_flatten(state.params)
@@ -333,6 +336,7 @@ class Learner:
         mesh=None,
         seed: int = 0,
         hutchinson: bool = False,
+        pass_loss_value: bool = False,
     ):
         self.model = model
         self.tx = tx
@@ -341,7 +345,10 @@ class Learner:
         self.mesh = mesh
         self.carries: dict[int, BatchCarry] = {}
         self._step_fn = jax.jit(
-            make_train_step(model, tx, frontend, loss_cfg, hutchinson=hutchinson),
+            make_train_step(
+                model, tx, frontend, loss_cfg,
+                hutchinson=hutchinson, pass_loss_value=pass_loss_value,
+            ),
             donate_argnums=(0,),
         )
         self._rng = jax.random.PRNGKey(seed)

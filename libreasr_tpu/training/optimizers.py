@@ -222,10 +222,14 @@ def build_optimizer(
     weight_decay: float = 0.01,
     grad_clip: float = 10.0,
     accumulate: int = 1,
+    reduce_on_plateau: bool = False,
 ) -> optax.GradientTransformation:
-    """Build the full update chain: clip -> optimizer [-> lookahead]
-    [-> MultiSteps accumulation] (reference GradAccumCallback,
-    learner.py:51-65)."""
+    """Build the full update chain: clip -> optimizer [-> plateau lr
+    scaling] [-> MultiSteps accumulation] (reference GradAccumCallback
+    learner.py:51-65 + ReduceLROnPlateau learner.py:178).
+
+    With reduce_on_plateau the train step must pass `value=loss` to
+    tx.update (training/learner.py does when enabled)."""
     name = name.lower()
     if name == "ranger":
         base = lookahead(optax.radam(learning_rate))
@@ -245,7 +249,14 @@ def build_optimizer(
         base = optax.sgd(learning_rate, momentum=0.9)
     else:
         raise ValueError(f"unknown optimizer: {name}")
-    tx = optax.chain(optax.clip_by_global_norm(grad_clip), base)
+    parts = [optax.clip_by_global_norm(grad_clip), base]
+    if reduce_on_plateau:
+        parts.append(
+            optax.contrib.reduce_on_plateau(
+                factor=0.5, patience=10, cooldown=5, accumulation_size=50
+            )
+        )
+    tx = optax.chain(*parts)
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     return tx

@@ -107,6 +107,18 @@ def test_carry_updates_across_steps(rng):
     assert np.abs(np.asarray(carry.enc_state[0][0])).sum() > 0
 
 
+def test_reduce_on_plateau_step(rng):
+    cfg = tiny_cfg()
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    tx = build_optimizer("adam", 1e-3, reduce_on_plateau=True)
+    learner = Learner(model, variables, tx, frontend=None,
+                      pass_loss_value=True)
+    batch = feature_batch(rng)
+    for _ in range(3):
+        m = learner.step(batch)
+        assert np.isfinite(m["loss"])
+
+
 def test_loss_shaping_options(rng):
     """entropy/zero loss regularizers change the loss and keep it finite
     (reference loss.py:111-129)."""

@@ -98,12 +98,14 @@ def main(argv=None):
     schedule = make_lr_schedule(
         {**tconf, "total_steps": args.steps or tconf.get("total_steps", 100_000)}
     )
+    plateau = bool(tconf.get("reduce_on_plateau", False))
     tx = build_optimizer(
         tconf.get("optimizer", "ranger"),
         schedule,
         weight_decay=tconf.get("wd", 0.01),
         grad_clip=tconf.get("grad_clip", 10.0),
         accumulate=conf.get("accumulate_n_batches", 1),
+        reduce_on_plateau=plateau,
     )
     learner = Learner(
         model, variables, tx,
@@ -111,6 +113,7 @@ def main(argv=None):
         loss_cfg=LossConfig.from_config(conf),
         mesh=mesh, seed=seed,
         hutchinson=tconf.get("optimizer", "").lower() == "adahessian",
+        pass_loss_value=plateau,
     )
 
     # crash-resume (reference Makefile:1-4 + ipynb cell 21 try/except)
