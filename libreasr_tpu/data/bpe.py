@@ -184,10 +184,13 @@ class BPELanguage:
             ids = list(buf[: min(n, len(buf))])
         return ([self.sos] if sos else []) + ids
 
-    def denumericalize(self, ids, strip_special: bool = True) -> str:
+    def denumericalize(self, ids, strip_special: bool = True,
+                       stop_at_eos: bool = True) -> str:
         if not isinstance(ids, (list, tuple)):
             ids = [int(ids)]
         ids = [int(i) for i in ids]
+        if stop_at_eos and self.eos in ids:
+            ids = ids[: ids.index(self.eos)]
         if self._py is not None:
             return self._py.decode(ids, ignore=(0,))
         arr = (ctypes.c_int32 * max(len(ids), 1))(*ids)

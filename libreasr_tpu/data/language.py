@@ -45,12 +45,17 @@ class CharLanguage:
                 out.append(idx)
         return out + [self.eos]
 
-    def denumericalize(self, ids, strip_special: bool = True) -> str:
+    def denumericalize(self, ids, strip_special: bool = True,
+                       stop_at_eos: bool = True) -> str:
         if not isinstance(ids, (list, tuple)):
             ids = [int(ids)]
         chars = []
         for i in ids:
             i = int(i)
+            if stop_at_eos and i == self.eos:
+                # EOS ends the utterance — tokens a decoder emits past it
+                # are post-terminal drift
+                break
             if strip_special and i in (self.blank, self.sos, self.eos, 3):
                 continue
             tok = self.i2t.get(i)
