@@ -204,10 +204,15 @@ def _rnnt_bwd(blank, res, g):
     p = jax.nn.softmax(logits, axis=-1)
     grad = p * g_total[..., None]
     grad = grad.at[..., blank].add(-occ_blank)
-    nn_idx = jnp.arange(n)[:, None, None]
-    tt_idx = jnp.arange(t)[None, :, None]
-    uu_idx = jnp.arange(u1 - 1)[None, None, :]
-    grad = grad.at[nn_idx, tt_idx, uu_idx, labels[:, None, :]].add(-occ_emit)
+    # emit term: subtract occ_emit at v == labels[u]. A gather-style
+    # scatter-add here takes *seconds* on TPU; the broadcast compare is
+    # a fused elementwise pass instead.
+    emit_mask = (
+        labels[:, None, :, None] == jnp.arange(v)[None, None, None, :]
+    )                                                              # [N,1,U,V]
+    grad = grad.at[:, :, :-1, :].add(
+        jnp.where(emit_mask, -occ_emit[..., None], 0.0)
+    )
     grad = grad * g[:, None, None, None]
     return (grad.astype(logits.dtype), None, None, None)
 
