@@ -88,6 +88,7 @@ class StreamState(NamedTuple):
     sample_carry: jax.Array  # [N, d*hop + n_fft/2]
     mel_carry: jax.Array     # [N, n_stack - downsample + d, n_mels]
     started: jax.Array       # [N] bool — slot has been (re)initialized
+    primed: jax.Array        # [N] bool — first (warmup) frame consumed
 
 
 def _beam_committed_prefix(beam: BeamState):
@@ -225,9 +226,14 @@ class StreamingEngine:
                 variables["params"], "encoder", n, cfg.enc_num_layers
             )
             enc_state = jax.tree_util.tree_map(sel, enc_h0, state.enc_state)
-            sample_carry = sel(jnp.zeros_like(state.sample_carry),
-                               state.sample_carry)
+            # on reset the sample carry is the reflect-padding of the
+            # incoming chunk's head — the exact prefix batch-mode framing
+            # (center=True, reflect) uses, so stream features match
+            # training features bit-for-bit from the first frame
+            reflect = chunks[:, 0, 1 : sc_len + 1][:, ::-1]
+            sample_carry = sel(reflect, state.sample_carry)
             mel_carry = sel(jnp.zeros_like(state.mel_carry), state.mel_carry)
+            primed = jnp.where(do_reset, False, state.primed)
 
             beam = scfg.beam_width > 1
             if not beam:
@@ -237,34 +243,49 @@ class StreamingEngine:
                     y_len=jnp.zeros_like(dec.y_len),
                 )
 
-            # --- incremental frontend: one stacked frame per chunk ------
-            stacked_frames = []
+            # --- incremental frontend + per-frame encode/decode ----------
+            # A stream's first frame after reset is pipeline warmup (its
+            # stacked window would reach before the signal start) — each
+            # stream skips exactly one frame via the `primed` mask.
             for b in range(chunks.shape[1]):
-                mel, sample_carry = mel_chunk(sample_carry, chunks[:, b])
+                # carries only advance for streams that actually received
+                # a chunk this step (others would swallow padding zeros)
+                mel, sample_carry_new = mel_chunk(sample_carry, chunks[:, b])
                 allmel = jnp.concatenate([mel_carry, mel], axis=1)
                 win = allmel[:, : fe.n_stack, :]           # [N, K, M]
-                stacked_frames.append(
-                    jnp.swapaxes(win, 1, 2).reshape(n, -1)  # feature-major
+                stacked = jnp.swapaxes(win, 1, 2).reshape(n, 1, -1)
+                vmask = valid[:, None]
+                sample_carry = jnp.where(vmask, sample_carry_new, sample_carry)
+                mel_carry = jnp.where(
+                    vmask[:, :, None], allmel[:, fe.downsample :, :], mel_carry
                 )
-                mel_carry = allmel[:, fe.downsample :, :]
-            feats = jnp.stack(stacked_frames, axis=1)       # [N, nb, F]
 
-            # --- encoder step + decode ----------------------------------
-            enc_out, enc_state = encode_step(feats, enc_state)
-            if beam:
-                for t in range(feats.shape[1]):
+                real = primed & valid                       # [N]
+                enc_out, enc_state_new = encode_step(stacked, enc_state)
+
+                def keep_real(a, b_):
+                    m = real.reshape((-1,) + (1,) * (a.ndim - 1))
+                    return jnp.where(m, a, b_)
+
+                enc_state = jax.tree_util.tree_map(
+                    keep_real, enc_state_new, enc_state
+                )
+                if beam:
                     dec = beam_frame(
-                        fns, dec, enc_out[:, t, :], valid,
+                        fns, dec, enc_out[:, 0, :], real,
                         blank=cfg.blank, max_expand=scfg.max_iters,
                         lm_alpha=scfg.lm_alpha,
                     )
-                toks, lens, dec = _beam_committed_prefix(dec)
-            else:
-                for t in range(feats.shape[1]):
+                else:
                     dec = decode_frame(
-                        fns, dec, enc_out[:, t, :], valid,
+                        fns, dec, enc_out[:, 0, :], real,
                         blank=cfg.blank, max_iters=scfg.max_iters,
                     )
+                primed = primed | valid
+
+            if beam:
+                toks, lens, dec = _beam_committed_prefix(dec)
+            else:
                 toks, lens = dec.y_buf, dec.y_len
             new_state = StreamState(
                 enc_state=enc_state,
@@ -272,6 +293,7 @@ class StreamingEngine:
                 sample_carry=sample_carry,
                 mel_carry=mel_carry,
                 started=state.started | valid | reset,
+                primed=primed,
             )
             return new_state, (toks, lens)
 
@@ -310,6 +332,7 @@ class StreamingEngine:
                     (self.n, self._mel_carry_len, self.frontend.n_mels)
                 ),
                 started=jnp.zeros((self.n,), bool),
+                primed=jnp.zeros((self.n,), bool),
             )
             if self.mesh is not None:
                 # stream-axis sharding over "data"; fresh template too

@@ -1,0 +1,67 @@
+"""Golden end-to-end decode: a committed *trained* bundle (overfit on 8
+fixed utterances via train.py) must transcribe its training set exactly
+— through batch greedy, beam search, AND the streaming engine. This
+pins the full inference stack (bundle load -> frontend -> encoder ->
+decode -> detokenize) against a known-good model, the role
+demo/3729-6852-0035.flac plays for the reference (api-client.py:13)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from libreasr_tpu.api import ASRBundle
+from libreasr_tpu.data.audio import read_audio
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+TEXTS = [
+    "yes", "no", "hello world", "stop now",
+    "go left", "turn right", "one two", "three four",
+]
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    bundle = ASRBundle.from_bundle(
+        os.path.join(FIXTURES, "model.tar.gz"),
+        extract_to=str(tmp_path_factory.mktemp("golden")),
+    )
+    audio = np.zeros((8, 16000), np.float32)
+    for i in range(8):
+        pcm, sr = read_audio(os.path.join(FIXTURES, f"s-{i:03d}.wav"))
+        assert sr == 16000
+        audio[i] = pcm[0]
+    return bundle, audio
+
+
+def test_batch_greedy_exact(golden):
+    bundle, audio = golden
+    texts, metrics = bundle.transcribe_batch(audio, np.full(8, 16000))
+    assert texts == TEXTS
+    assert (np.asarray(metrics["alignment_score"]) > 0).all()
+
+
+def test_beam_exact(golden):
+    bundle, audio = golden
+    texts, scores = bundle.transcribe_beam(
+        audio, np.full(8, 16000), beam_width=3
+    )
+    assert texts == TEXTS
+    assert np.isfinite(scores).all()
+
+
+def test_streaming_engine_exact(golden):
+    from libreasr_tpu.models.streaming import StreamingEngine
+
+    bundle, audio = golden
+    eng = StreamingEngine(bundle, n_streams=8)
+    slots = [eng.open_slot() for _ in range(8)]
+    chunk = 1280
+    for off in range(0, 16000, chunk):
+        for i, s in enumerate(slots):
+            eng.feed(s, audio[i, off : off + chunk])
+    # flush the tail the exact frontend is still carrying (~40 ms)
+    for i, s in enumerate(slots):
+        eng.feed(s, np.zeros(chunk, np.float32))
+    got = [eng.transcript(s) for s in slots]
+    assert got == TEXTS

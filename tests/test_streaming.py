@@ -24,41 +24,15 @@ def bundle():
     return ASRBundle.from_config(conf)
 
 
-def reference_stream_features(bundle, audio, n_chunks):
-    """Independent construction of the exact-streaming features: mel
-    frames over [zeros(sample_carry), audio] without center padding,
-    prepended with zero mel frames for the mel carry, then stacked."""
-    import jax.numpy as jnp
-
-    from libreasr_tpu.models.streaming import _stream_geometry
-    from libreasr_tpu.ops.frontend import dft_mel_matrices
-
-    fe = bundle.frontend
-    frames_pc, d, sc, mc = _stream_geometry(fe, 1280)
-    sig = np.concatenate([np.zeros(sc, np.float32), audio[: n_chunks * 1280]])
-    c, s, fb = dft_mel_matrices(
-        fe.n_fft, fe.n_mels, fe.sr, int(fe.win_length * fe.sr)
-    )
-    n_frames = (len(sig) - fe.n_fft) // fe.hop + 1
-    frames = np.stack(
-        [sig[i * fe.hop : i * fe.hop + fe.n_fft] for i in range(n_frames)]
-    )
-    power = (frames @ c) ** 2 + (frames @ s) ** 2
-    mel = np.log(power @ fb + 1e-6)
-    mel = np.concatenate([np.zeros((mc, fe.n_mels)), mel])
-    stacked = []
-    for m in range(n_chunks):
-        win = mel[m * fe.downsample : m * fe.downsample + fe.n_stack]
-        stacked.append(win.T.reshape(-1))  # feature-major
-    return np.stack(stacked)[None].astype(np.float32)  # [1, n_chunks, F]
-
-
 def test_streaming_equals_batch_decode(bundle, rng):
-    """The engine's chunked decode must equal full-sequence encode+greedy
-    over the exact same features — the streaming==batch invariant."""
+    """The engine's chunked decode must equal full-sequence
+    features_batch -> encode -> greedy over the SAME audio: streaming
+    features are bit-identical to batch (training) features thanks to
+    the reflect-initialized carry + warmup-frame skip."""
     import jax.numpy as jnp
 
     from libreasr_tpu.models.decode import greedy_decode
+    from libreasr_tpu.ops.frontend import features_batch
 
     n_chunks = 8
     audio = (rng.standard_normal(n_chunks * 1280) * 0.1).astype(np.float32)
@@ -68,11 +42,14 @@ def test_streaming_equals_batch_decode(bundle, rng):
         toks, lens = eng.step_batch(audio[k * 1280 : (k + 1) * 1280][None, None])
         got.extend(toks[0, : lens[0]])
 
-    feats = jnp.asarray(reference_stream_features(bundle, audio, n_chunks))
-    enc_out, _ = bundle.encode(feats, jnp.array([n_chunks]))
+    feats, flens = features_batch(
+        jnp.asarray(audio)[None], jnp.array([len(audio)]), bundle.frontend
+    )
+    assert int(flens[0]) == n_chunks - 1  # engine emits one frame/chunk after warmup
+    enc_out, _ = bundle.encode(feats, flens)
     fns = bundle.decoder_fns(False)
     toks, lens, _, _ = greedy_decode(
-        fns, enc_out, jnp.array([n_chunks]), vocab_sz=bundle.cfg.vocab_sz,
+        fns, enc_out, flens, vocab_sz=bundle.cfg.vocab_sz,
         blank=bundle.cfg.blank, bos=bundle.cfg.bos,
         max_iters=eng.scfg.max_iters,
         # random weights emit ~max_iters tokens/frame — don't cap below
@@ -140,11 +117,15 @@ def test_streaming_beam_commits_match_batch_beam(bundle, rng):
     eng.close_slot(s)  # flushes uncommitted tokens
     got = eng.emitted[s]
 
-    feats = jnp.asarray(reference_stream_features(bundle, audio, n_chunks))
-    enc_out, _ = bundle.encode(feats, jnp.array([n_chunks]))
+    from libreasr_tpu.ops.frontend import features_batch
+
+    feats, flens = features_batch(
+        jnp.asarray(audio)[None], jnp.array([len(audio)]), bundle.frontend
+    )
+    enc_out, _ = bundle.encode(feats, flens)
     fns = bundle.decoder_fns(False)
     toks, lens, _ = beam_decode(
-        fns, enc_out, jnp.array([n_chunks]), vocab_sz=bundle.cfg.vocab_sz,
+        fns, enc_out, flens, vocab_sz=bundle.cfg.vocab_sz,
         beam_width=3, blank=bundle.cfg.blank, bos=bundle.cfg.bos,
         max_expand=3, max_tokens=64,
     )
