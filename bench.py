@@ -22,6 +22,8 @@ import numpy as np
 
 
 def build_bundle():
+    import jax.numpy as jnp
+
     from libreasr_tpu.api import ASRBundle
     from libreasr_tpu.config import apply_overrides, open_config
 
@@ -29,7 +31,18 @@ def build_bundle():
     conf = apply_overrides(conf, ["inference"])
     conf["lm"]["enable"] = False
     conf["dtypes"]["compute"] = "bfloat16"
-    return ASRBundle.from_config(conf)
+    bundle = ASRBundle.from_config(conf)
+    # bias the joint toward blank so decode behaves like a trained model
+    # (mostly blank, ~0-2 tokens/frame) instead of random-weight max_iters
+    # emissions every frame
+    params = dict(bundle.variables["params"])
+    joint = dict(params["joint"])
+    out = dict(joint["out"])
+    out["bias"] = out["bias"].at[0].add(6.0)
+    joint["out"] = out
+    params["joint"] = joint
+    bundle.variables = {**bundle.variables, "params": params}
+    return bundle
 
 
 def time_engine(bundle, n_streams: int, iters: int = 20, n_buffer: int = 1) -> float:

@@ -25,6 +25,7 @@ class EvalResult:
     alignment_score: float
     n: int
     samples: list = field(default_factory=list)
+    by_length: dict = field(default_factory=dict)
 
 
 def make_eval_step(
@@ -73,7 +74,8 @@ def evaluate(
     variables = variables if variables is not None else bundle.variables
     run = make_eval_step(bundle, beam_width=beam_width)
     lang = bundle.lang
-    wers, cers, aligns, samples = [], [], [], []
+    wers, cers, aligns, samples, secs = [], [], [], [], []
+    sr = bundle.frontend.sr
     for bi, batch in enumerate(batches):
         if max_batches is not None and bi >= max_batches:
             break
@@ -90,6 +92,7 @@ def evaluate(
             wers.append(wer(pred, target))
             cers.append(cer(pred, target))
             aligns.append(float(align[i]))
+            secs.append(float(batch.audio_len[i]) / sr)
             if len(samples) < keep_samples:
                 samples.append({"pred": pred, "target": target})
     n = len(wers)
@@ -101,4 +104,19 @@ def evaluate(
         alignment_score=float(np.mean(aligns)),
         n=n,
         samples=samples,
+        by_length=wer_by_length(secs, wers),
     )
+
+
+def wer_by_length(secs, wers, edges=(2, 4, 6, 10, 20)) -> dict:
+    """WER bucketed by utterance duration (the reference's WER-vs-length
+    analysis, libreasr.ipynb cells 34-44)."""
+    out = {}
+    lo = 0.0
+    for hi in list(edges) + [float("inf")]:
+        sel = [w for s, w in zip(secs, wers) if lo <= s < hi]
+        if sel:
+            label = f"{lo:g}-{hi:g}s" if hi != float("inf") else f">{lo:g}s"
+            out[label] = {"wer": float(np.mean(sel)), "n": len(sel)}
+        lo = hi
+    return out

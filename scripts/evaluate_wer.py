@@ -82,6 +82,8 @@ def main(argv=None):
         f"align={result.alignment_score:.2f} "
         f"({dt:.0f}s, {hours * 3600 / max(dt, 1e-9):.0f}x realtime)"
     )
+    for label, rec in result.by_length.items():
+        print(f"  WER[{label}] = {rec['wer']:.4f} (n={rec['n']})")
     for s in result.samples:
         print(f"  pred:   {s['pred']!r}\n  target: {s['target']!r}")
 
