@@ -22,6 +22,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite jit-compiles hundreds of programs;
+# warm runs cut minutes
+_cache = os.path.join(os.path.dirname(__file__), "..", "tmp", "jax_cache_cpu")
+os.makedirs(_cache, exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 
