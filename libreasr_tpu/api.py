@@ -212,6 +212,28 @@ class ASRBundle:
         )
         return texts[0], {k: v[0] for k, v in metrics.items()}
 
+    def transcribe_stream(self, chunks, *, use_lm: bool = False, **scfg_kw):
+        """Generator API over a chunk iterable (reference
+        Transducer.transcribe_stream, models.py:457-577): yields
+        (all_tokens, new_text, reset_fn) per fed chunk. Thin wrapper over
+        a single-slot StreamingEngine; for many concurrent streams use
+        StreamingEngine directly."""
+        from .models.streaming import StreamingConfig, StreamingEngine
+
+        scfg = StreamingConfig(sr=self.frontend.sr, **scfg_kw)
+        engine = StreamingEngine(self, n_streams=1, scfg=scfg, use_lm=use_lm)
+        slot = engine.open_slot()
+
+        def reset_fn():
+            engine._pending_reset_arr[slot] = True
+            engine.emitted[slot] = []
+
+        for chunk in chunks:
+            if chunk is None:
+                continue
+            new_text = engine.feed(slot, np.asarray(chunk, np.float32).reshape(-1))
+            yield list(engine.emitted[slot]), new_text, reset_fn
+
     # ---- beam search -------------------------------------------------------
 
     def _beam_program(self, use_lm, beam_width, max_expand, max_tokens, lm_alpha):

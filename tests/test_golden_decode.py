@@ -50,6 +50,18 @@ def test_beam_exact(golden):
     assert np.isfinite(scores).all()
 
 
+def test_transcribe_stream_generator(golden):
+    """The reference-shaped generator API yields growing transcripts."""
+    bundle, audio = golden
+    chunks = [audio[2, i : i + 1280] for i in range(0, 16000, 1280)]
+    chunks.append(np.zeros(1280, np.float32))  # flush frontend carry
+    last = ""
+    for y_all, new_text, reset_fn in bundle.transcribe_stream(chunks):
+        last = bundle.lang.denumericalize(y_all)
+    assert last == "hello world"
+    assert callable(reset_fn)
+
+
 def test_streaming_engine_exact(golden):
     from libreasr_tpu.models.streaming import StreamingEngine
 
