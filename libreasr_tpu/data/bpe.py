@@ -29,6 +29,11 @@ def _configure(lib):
         ctypes.c_void_p, ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
     ]
+    lib.bpe_encode_dropout.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_double, ctypes.c_uint,
+    ]
     lib.bpe_decode.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ctypes.c_char_p, ctypes.c_int,
@@ -125,7 +130,10 @@ class _PyBPE:
     def vocab_size(self):
         return len(self.vocab)
 
-    def encode(self, text: str) -> list[int]:
+    def encode(self, text: str, dropout: float = 0.0, seed: int = 0) -> list[int]:
+        import random as _random
+
+        rng = _random.Random(seed or 12345)
         ids = []
         for w in text.lower().split():
             syms = [META + w[0]] + list(w[1:])
@@ -134,6 +142,8 @@ class _PyBPE:
                 for i in range(len(syms) - 1):
                     r = self.rank.get(syms[i] + " " + syms[i + 1])
                     if r is not None and (best is None or r < best):
+                        if dropout > 0 and rng.random() < dropout:
+                            continue  # BPE-dropout: skip this merge
                         best, bi = r, i
                 if bi < 0:
                     break
@@ -174,13 +184,21 @@ class BPELanguage:
             self._h = None
             self._py = _PyBPE(model_file)
 
-    def numericalize(self, text: str, sos: bool = False) -> list[int]:
+    def numericalize(
+        self, text: str, sos: bool = False, dropout: float = 0.0, seed: int = 0
+    ) -> list[int]:
+        """dropout: BPE-dropout probability (yttm dropout_prob,
+        reference language.py:121-131) — segmentation noise as a
+        training-time regularizer."""
         text = text.lower().strip()
         if self._py is not None:
-            ids = self._py.encode(text)
+            ids = self._py.encode(text, dropout=dropout, seed=seed)
         else:
             buf = (ctypes.c_int32 * (4 * len(text) + 8))()
-            n = self._lib.bpe_encode(self._h, text.encode(), buf, len(buf))
+            n = self._lib.bpe_encode_dropout(
+                self._h, text.encode(), buf, len(buf), float(dropout),
+                int(seed) & 0xFFFFFFFF,
+            )
             ids = list(buf[: min(n, len(buf))])
         return ([self.sos] if sos else []) + ids
 

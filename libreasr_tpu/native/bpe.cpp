@@ -67,9 +67,11 @@ std::string lower_ascii(const std::string& s) {
   return o;
 }
 
-// encode one word (meta-prefixed) using merge ranks
+// encode one word (meta-prefixed) using merge ranks. dropout > 0 skips
+// each candidate merge with that probability (BPE-dropout
+// regularization — yttm's dropout_prob, reference language.py:124).
 void encode_word(const Model& m, const std::string& word,
-                 std::vector<int>& out) {
+                 std::vector<int>& out, double dropout, unsigned* rng) {
   std::vector<std::string> syms = utf8_chars(word);
   if (syms.empty()) return;
   syms[0] = META + syms[0];
@@ -78,6 +80,9 @@ void encode_word(const Model& m, const std::string& word,
     for (size_t i = 0; i + 1 < syms.size(); i++) {
       auto it = m.merge_rank.find(syms[i] + " " + syms[i + 1]);
       if (it != m.merge_rank.end() && it->second < best_rank) {
+        if (dropout > 0.0 &&
+            (double)rand_r(rng) / RAND_MAX < dropout)
+          continue;
         best_rank = it->second;
         best_i = (int)i;
       }
@@ -248,15 +253,21 @@ int bpe_vocab_size(void* handle) {
   return (int)((Model*)handle)->vocab.size();
 }
 
-int bpe_encode(void* handle, const char* text, int32_t* out, int max_out) {
+int bpe_encode_dropout(void* handle, const char* text, int32_t* out,
+                       int max_out, double dropout, unsigned seed) {
   Model* m = (Model*)handle;
   std::istringstream ss(lower_ascii(text));
   std::string w;
   std::vector<int> ids;
-  while (ss >> w) encode_word(*m, w, ids);
+  unsigned rng = seed ? seed : 12345u;
+  while (ss >> w) encode_word(*m, w, ids, dropout, &rng);
   int n = std::min((int)ids.size(), max_out);
   for (int i = 0; i < n; i++) out[i] = ids[i];
   return (int)ids.size();
+}
+
+int bpe_encode(void* handle, const char* text, int32_t* out, int max_out) {
+  return bpe_encode_dropout(handle, text, out, max_out, 0.0, 0);
 }
 
 int bpe_decode(void* handle, const int32_t* ids, int n, char* out,

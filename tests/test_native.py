@@ -112,3 +112,16 @@ def test_bpe_merges_frequent_words(bpe_model):
     lang = BPELanguage(bpe_model)
     # "the" is the most frequent word: must encode to a single token
     assert len(lang.numericalize("the")) == 1
+
+
+def test_bpe_dropout(bpe_model):
+    """BPE-dropout yields a longer (finer) segmentation that decodes to
+    the same text (yttm dropout_prob parity)."""
+    lang = BPELanguage(bpe_model)
+    text = "the quick brown fox"
+    plain = lang.numericalize(text)
+    dropped = lang.numericalize(text, dropout=0.9, seed=7)
+    assert len(dropped) >= len(plain)
+    assert lang.denumericalize(dropped) == text
+    # deterministic under a fixed seed
+    assert dropped == lang.numericalize(text, dropout=0.9, seed=7)
