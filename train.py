@@ -137,6 +137,7 @@ def main(argv=None):
     epochs = tconf.get("epochs", 20)
     tests_per_epoch = conf.get("tests_per_epoch", 8)
     step = start_step
+    metrics = {"loss": float("nan")}
     t0 = time.time()
     try:
         for epoch in range(epochs):
