@@ -169,6 +169,9 @@ class StreamingEngine:
         self.silence_ms = np.zeros(self.n, np.int64)
         self.active = np.zeros(self.n, bool)
         self._pending_reset_arr = np.zeros(self.n, bool)
+        # latched once a stream emits EOS: suppress post-terminal tokens
+        # until the next reset (silence auto-reset or reopen)
+        self._eos_done = np.zeros(self.n, bool)
 
     # ------------------------------------------------------------------
 
@@ -428,9 +431,24 @@ class StreamingEngine:
                     valid[i] = True
             reset = self._pending_reset & valid
             toks, lens = self.step_batch(chunks, valid, reset)
+            self._eos_done[np.asarray(reset)] = False
             self._pending_reset_arr[valid] = False
+            eos = getattr(self.bundle.lang, "eos", None)
             for i in np.nonzero(valid)[0]:
                 ids = list(toks[i, : lens[i]])
+                # once EOS latched, everything further is post-terminal
+                # drift until the stream resets
+                if self._eos_done[i]:
+                    ids = []
+                elif eos is not None and eos in ids:
+                    # EOS ends the utterance: truncate and latch
+                    ids = ids[: ids.index(eos)]
+                    self._eos_done[i] = True
+                    if ids:
+                        self.emitted[i].extend(ids)
+                        if i == slot:
+                            new_text.append(self.bundle.lang.denumericalize(ids))
+                    continue
                 if ids:
                     self.silence_ms[i] = 0
                     self.emitted[i].extend(ids)

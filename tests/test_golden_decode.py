@@ -77,3 +77,51 @@ def test_streaming_engine_exact(golden):
         eng.feed(s, np.zeros(chunk, np.float32))
     got = [eng.transcript(s) for s in slots]
     assert got == TEXTS
+
+
+def test_grpc_wire_exact(golden):
+    """Exact transcripts through the real gRPC wire: unary Transcribe
+    AND streaming TranscribeStream against the trained golden bundle."""
+    import socket
+
+    import grpc
+
+    from libreasr_tpu.models.streaming import StreamingEngine
+    from libreasr_tpu.serving import proto
+    from libreasr_tpu.serving.server import make_server
+
+    bundle, audio = golden
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    engine = StreamingEngine(bundle, n_streams=2)
+    server, _ = make_server(bundle, port, engine=engine)
+    server.start()
+    try:
+        channel = grpc.insecure_channel(f"localhost:{port}")
+        unary = channel.unary_unary(
+            proto.METHOD_TRANSCRIBE,
+            request_serializer=proto.Audio.SerializeToString,
+            response_deserializer=proto.Transcript.FromString,
+        )
+        out = unary(proto.Audio(data=audio[2].tobytes(), sr=16000))
+        assert out.data == "hello world"
+
+        stream = channel.stream_stream(
+            proto.METHOD_TRANSCRIBE_STREAM,
+            request_serializer=proto.Audio.SerializeToString,
+            response_deserializer=proto.Transcript.FromString,
+        )
+
+        def chunks():
+            for off in range(0, 16000, 1280):
+                yield proto.Audio(
+                    data=audio[3, off : off + 1280].tobytes(), sr=16000
+                )
+            yield proto.Audio(data=np.zeros(1280, np.float32).tobytes(), sr=16000)
+
+        pieces = [t.data for t in stream(chunks())]
+        assert "".join(pieces) == "stop now"
+        channel.close()
+    finally:
+        server.stop(0)
