@@ -16,3 +16,21 @@ A from-scratch rebuild of the capabilities of iceychris/LibreASR
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (kept lazy so `libreasr_tpu.native`
+    works without pulling jax/flax)."""
+    if name == "ASRBundle":
+        from .api import ASRBundle
+
+        return ASRBundle
+    if name == "StreamingEngine":
+        from .models.streaming import StreamingEngine
+
+        return StreamingEngine
+    if name == "Learner":
+        from .training.learner import Learner
+
+        return Learner
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
