@@ -185,11 +185,21 @@ class BPELanguage:
             self._py = _PyBPE(model_file)
 
     def numericalize(
-        self, text: str, sos: bool = False, dropout: float = 0.0, seed: int = 0
+        self,
+        text: str,
+        sos: bool = False,
+        dropout: float = 0.0,
+        seed: int = 0,
+        append_eos: bool = True,
     ) -> list[int]:
         """dropout: BPE-dropout probability (yttm dropout_prob,
         reference language.py:121-131) — segmentation noise as a
-        training-time regularizer."""
+        training-time regularizer.
+
+        append_eos: terminate with <EOS> (divergence from yttm, which
+        has no terminal — training with EOS gives the decoder a learned
+        endpoint and stops post-terminal drift; pass False for strict
+        reference parity)."""
         text = text.lower().strip()
         if self._py is not None:
             ids = self._py.encode(text, dropout=dropout, seed=seed)
@@ -200,6 +210,8 @@ class BPELanguage:
                 int(seed) & 0xFFFFFFFF,
             )
             ids = list(buf[: min(n, len(buf))])
+        if append_eos:
+            ids = ids + [self.eos]
         return ([self.sos] if sos else []) + ids
 
     def denumericalize(self, ids, strip_special: bool = True,

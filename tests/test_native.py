@@ -88,8 +88,9 @@ def test_bpe_roundtrip(bpe_model):
     lang = BPELanguage(bpe_model)
     assert len(lang) <= 80
     ids = lang.numericalize("the quick brown fox")
-    assert len(ids) > 0
-    assert all(i >= 4 for i in ids)  # no specials/unk for in-vocab text
+    assert len(ids) > 1
+    assert ids[-1] == lang.eos  # terminal appended by default
+    assert all(i >= 4 for i in ids[:-1])  # no specials/unk for in-vocab text
     assert lang.denumericalize(ids) == "the quick brown fox"
 
 
@@ -104,14 +105,14 @@ def test_bpe_python_fallback_parity(bpe_model):
     lang = BPELanguage(bpe_model)
     py = _PyBPE(bpe_model)
     for text in ["the quick brown fox", "lazy dog day", "barks at the dog"]:
-        assert lang.numericalize(text) == py.encode(text)
+        assert lang.numericalize(text, append_eos=False) == py.encode(text)
         assert lang.denumericalize(py.encode(text)) == py.decode(py.encode(text))
 
 
 def test_bpe_merges_frequent_words(bpe_model):
     lang = BPELanguage(bpe_model)
     # "the" is the most frequent word: must encode to a single token
-    assert len(lang.numericalize("the")) == 1
+    assert len(lang.numericalize("the", append_eos=False)) == 1
 
 
 def test_bpe_dropout(bpe_model):
@@ -119,9 +120,9 @@ def test_bpe_dropout(bpe_model):
     the same text (yttm dropout_prob parity)."""
     lang = BPELanguage(bpe_model)
     text = "the quick brown fox"
-    plain = lang.numericalize(text)
-    dropped = lang.numericalize(text, dropout=0.9, seed=7)
+    plain = lang.numericalize(text, append_eos=False)
+    dropped = lang.numericalize(text, dropout=0.9, seed=7, append_eos=False)
     assert len(dropped) >= len(plain)
     assert lang.denumericalize(dropped) == text
     # deterministic under a fixed seed
-    assert dropped == lang.numericalize(text, dropout=0.9, seed=7)
+    assert dropped == lang.numericalize(text, dropout=0.9, seed=7, append_eos=False)
