@@ -125,3 +125,18 @@ def test_grpc_wire_exact(golden):
         channel.close()
     finally:
         server.stop(0)
+
+
+def test_bpe_bundle_exact(golden, tmp_path):
+    """Second golden bundle: trained with a CLI-trained BPE tokenizer
+    (train_tokenizer: true) — exercises the BPE path end to end
+    (tokenizer in the tar.gz -> BPELanguage -> decode -> detokenize)."""
+    from libreasr_tpu.data.bpe import BPELanguage
+
+    _, audio = golden
+    bundle = ASRBundle.from_bundle(
+        os.path.join(FIXTURES, "model_bpe.tar.gz"), extract_to=str(tmp_path)
+    )
+    assert isinstance(bundle.lang, BPELanguage)
+    texts, _ = bundle.transcribe_batch(audio, np.full(8, 16000))
+    assert texts == TEXTS
