@@ -236,10 +236,12 @@ class ASRBundle:
 
     # ---- beam search -------------------------------------------------------
 
-    def _beam_program(self, use_lm, beam_width, max_expand, max_tokens, lm_alpha):
+    def _beam_program(self, use_lm, beam_width, max_expand, max_tokens,
+                      lm_alpha, lm_beta):
         from .models.beam import beam_decode
 
-        key = ("beam", use_lm, beam_width, max_expand, max_tokens, lm_alpha)
+        key = ("beam", use_lm, beam_width, max_expand, max_tokens,
+               lm_alpha, lm_beta)
         if key not in self._jit_cache:
 
             @jax.jit
@@ -254,7 +256,7 @@ class ASRBundle:
                     vocab_sz=self.cfg.vocab_sz, beam_width=beam_width,
                     blank=self.cfg.blank, bos=self.cfg.bos,
                     max_expand=max_expand, max_tokens=max_tokens,
-                    lm_alpha=lm_alpha,
+                    lm_alpha=lm_alpha, lm_beta=lm_beta,
                 )
 
             self._jit_cache[key] = run
@@ -270,8 +272,10 @@ class ASRBundle:
         max_expand: int = 3,
         max_tokens: int = 256,
         lm_alpha: float = 0.1,
+        lm_beta: float = 0.0,
     ):
-        """Beam-search transcription (with optional LM shallow fusion).
+        """Beam-search transcription (with optional LM shallow fusion;
+        lm_beta = token insertion bonus offsetting per-emission LM cost).
         audio: [S] or [N, S]. Returns (texts, scores)."""
         audio = np.asarray(audio, np.float32)
         single = audio.ndim == 1
@@ -281,7 +285,7 @@ class ASRBundle:
             sample_lengths = np.full(len(audio), audio.shape[1])
         run = self._beam_program(
             use_lm and self.lm is not None, beam_width, max_expand,
-            max_tokens, lm_alpha,
+            max_tokens, lm_alpha, lm_beta,
         )
         toks, lens, scores = run(
             self.variables,

@@ -128,6 +128,7 @@ def beam_frame(
     blank: int = 0,
     max_expand: int = 3,
     lm_alpha: float = 0.1,
+    lm_beta: float = 0.0,
 ) -> BeamState:
     n, k = st.scores.shape
     vocab = st.lm_logp.shape[-1]
@@ -151,10 +152,12 @@ def beam_frame(
             finished, cur._replace(scores=blank_scores), n, k
         )
 
-        # non-blank extensions with log-linear LM fusion
+        # non-blank extensions with log-linear LM fusion + token
+        # insertion bonus (beta offsets the per-emission LM cost that
+        # would otherwise favor the all-blank hypothesis)
         ext = cur.scores[:, :, None] + logp
         if fns.lm_step is not None:
-            ext = ext + lm_alpha * cur.lm_logp
+            ext = ext + lm_alpha * cur.lm_logp + lm_beta
         ext = ext.at[:, :, blank].set(NEG)
         ext = jnp.where(active[:, :, None], ext, NEG)
         ext = jnp.where((cur.y_len < cur.y_buf.shape[-1])[:, :, None], ext, NEG)
@@ -247,6 +250,7 @@ def beam_decode(
     max_expand: int = 3,
     max_tokens: int = 256,
     lm_alpha: float = 0.1,
+    lm_beta: float = 0.0,
 ):
     """Batched beam search. enc_out: [N, T, H].
 
@@ -261,7 +265,8 @@ def beam_decode(
         h_enc, t_idx = inp
         st = beam_frame(
             fns, st, h_enc, t_idx < enc_lengths,
-            blank=blank, max_expand=max_expand, lm_alpha=lm_alpha,
+            blank=blank, max_expand=max_expand,
+            lm_alpha=lm_alpha, lm_beta=lm_beta,
         )
         return st, ()
 

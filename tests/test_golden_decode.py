@@ -140,3 +140,20 @@ def test_bpe_bundle_exact(golden, tmp_path):
     assert isinstance(bundle.lang, BPELanguage)
     texts, _ = bundle.transcribe_batch(audio, np.full(8, 16000))
     assert texts == TEXTS
+
+
+def test_bpe_bundle_lm_fusion_exact(golden, tmp_path):
+    """Beam search WITH trained-LM shallow fusion (alpha + token bonus
+    beta) stays exact — validates the whole fusion pipeline (LM in the
+    bundle -> per-beam LM state -> log-linear scores)."""
+    _, audio = golden
+    bundle = ASRBundle.from_bundle(
+        os.path.join(FIXTURES, "model_bpe.tar.gz"),
+        extract_to=str(tmp_path),
+    )
+    assert bundle.lm is not None
+    texts, _ = bundle.transcribe_beam(
+        audio, np.full(8, 16000), beam_width=3,
+        use_lm=True, lm_alpha=0.2, lm_beta=0.6,
+    )
+    assert texts == TEXTS

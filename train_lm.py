@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--num-layers", type=int, default=4)
     p.add_argument("--out", default="tmp/lm.msgpack")
     p.add_argument("--eval-every", type=int, default=200)
+    p.add_argument("--vocab-sz", type=int, default=0,
+                   help="pad the LM vocab (0 = tokenizer size); must match "
+                        "the ASR model's padded vocab for fusion")
     a = p.parse_args(argv)
 
     import jax
@@ -52,12 +55,16 @@ def main(argv=None):
     from libreasr_tpu.models.lm import LM, LMConfig
 
     lang, vocab_sz = get_language(model_file=a.tokenizer or None)
+    if a.vocab_sz:
+        vocab_sz = max(vocab_sz, a.vocab_sz)
     print(f"[lm] vocab={vocab_sz}")
 
     ids = []
     with open(a.corpus) as f:
         for line in f:
-            ids.extend(lang.numericalize(line.strip()))
+            # sos=True: decode-time fusion conditions the LM on the BOS
+            # token first (models/decode.py) — it must be in-distribution
+            ids.extend(lang.numericalize(line.strip(), sos=True))
     ids = np.asarray(ids, np.int32)
     n_valid = max(len(ids) // 20, a.seq_len + 2)
     train_ids, valid_ids = ids[:-n_valid], ids[-n_valid:]
