@@ -28,6 +28,12 @@ deploy:
 client:
 	$(PY) -m libreasr_tpu.serving.client --port 50051
 
+# validate the public proto (the runtime codec implements it by hand;
+# reference `make gen` ran protoc codegen)
+gen:
+	protoc --proto_path=interfaces --descriptor_set_out=/dev/null interfaces/libreasr.proto
+	@echo "libreasr.proto valid (runtime codec: libreasr_tpu/serving/proto.py)"
+
 # native components
 native:
 	$(MAKE) -C libreasr_tpu/native all
@@ -41,4 +47,4 @@ bench:
 tensorboard:
 	tensorboard --logdir runs --port 6006 --host 0.0.0.0
 
-.PHONY: train train-lm sen sde b deploy client native test bench tensorboard
+.PHONY: train train-lm sen sde b deploy client gen native test bench tensorboard

@@ -63,6 +63,25 @@ class CharLanguage:
                 chars.append(tok)
         return "".join(chars)
 
+    @property
+    def replaceable(self) -> list[int]:
+        """Ids safe to substitute during label noising — everything after
+        the specials/punctuation block (reference language.py:90-93)."""
+        return list(self.t2i.values())[11:]
+
+    def randomize(self, ids, p: float, rng=None):
+        """Randomly replace tokens with other replaceable ids with prob p
+        (reference Language.randomize, language.py:95-101) — label-noise
+        regularization."""
+        import numpy as np
+
+        rng = rng or np.random.default_rng()
+        ids = np.asarray(ids).copy()
+        rpl = self.replaceable
+        mask = rng.random(ids.shape) < p
+        ids[mask] = rng.integers(min(rpl), max(rpl) + 1, mask.sum())
+        return ids
+
     def __len__(self) -> int:
         return len(self.t2i)
 
