@@ -167,6 +167,39 @@ def test_bridge_frame_parse():
     assert lang == "en" and sr == 16000 and data == payload
 
 
+def test_bridge_serves_web_client():
+    """The bridge's static handler serves the web client build
+    (reference api-bridge.py:127-141)."""
+    import asyncio
+    import socket
+    import urllib.request
+
+    import tornado.ioloop
+
+    from libreasr_tpu.serving.bridge import make_app
+
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    holder = {}
+
+    def run():
+        asyncio.set_event_loop(asyncio.new_event_loop())
+        app = make_app(static_path="apps/web")
+        app.listen(port)
+        holder["loop"] = tornado.ioloop.IOLoop.current()
+        holder["loop"].start()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(1.0)
+    html = urllib.request.urlopen(
+        f"http://localhost:{port}/", timeout=5
+    ).read().decode()
+    holder["loop"].add_callback(holder["loop"].stop)
+    assert "LibreASR" in html and "asupersecretwebsocketpath345" in html
+
+
 def test_ws_bridge_e2e(live_server, bundle):
     """browser-protocol WS frames -> bridge -> gRPC -> engine -> text."""
     import asyncio
