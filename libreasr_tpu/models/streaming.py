@@ -221,7 +221,12 @@ class StreamingEngine:
             do_reset = reset | ~state.started
 
             def sel(a, b):
-                m = do_reset.reshape((-1,) + (1,) * (a.ndim - 1))
+                # leaves are [N, ...] or, in beam mode, [N*K, ...]
+                if a.shape[0] != n and a.shape[0] % n == 0:
+                    m = jnp.repeat(do_reset, a.shape[0] // n)
+                else:
+                    m = do_reset
+                m = m.reshape((-1,) + (1,) * (a.ndim - 1))
                 return jnp.where(m, a, b)
 
             dec = jax.tree_util.tree_map(sel, fresh_dec, state.decode)

@@ -151,6 +151,22 @@ def test_engine_on_mesh_matches_single(bundle, rng):
         np.testing.assert_array_equal(t1, t2)
 
 
+def test_beam_engine_on_mesh_matches_single(bundle, rng):
+    """Streaming beam search also shards over the mesh data axis."""
+    from libreasr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8, model=1)
+    scfg = StreamingConfig(sr=bundle.frontend.sr, beam_width=2, max_iters=3)
+    chunks = (rng.standard_normal((8, 1, 1280)) * 0.1).astype(np.float32)
+    e1 = StreamingEngine(bundle, n_streams=8, scfg=scfg)
+    e2 = StreamingEngine(bundle, n_streams=8, scfg=scfg, mesh=mesh)
+    for _ in range(2):
+        t1, l1 = e1.step_batch(chunks)
+        t2, l2 = e2.step_batch(chunks)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(t1, t2)
+
+
 def test_reset_restores_fresh_state(bundle, rng):
     eng = StreamingEngine(bundle, n_streams=2)
     w1 = rng.standard_normal((2, 1, 1280)).astype(np.float32)
