@@ -139,16 +139,16 @@ def main(argv=None):
     step = start_step
     metrics = {"loss": float("nan")}
     t0 = time.time()
+    eval_every = None  # persists across epochs (sized on the first one)
     try:
         for epoch in range(epochs):
-            batches = list(train_ds) if step == 0 else train_ds
-            eval_every = None
+            batches = list(train_ds) if eval_every is None else train_ds
+            if eval_every is None and hasattr(batches, "__len__"):
+                eval_every = max(len(batches) // max(tests_per_epoch, 1), 1)
             for bi, batch in enumerate(batches):
                 metrics = learner.step(batch)
                 step = int(learner.state.step)
                 logger.log_step(step, metrics, batch)
-                if bi == 0 and eval_every is None and hasattr(batches, "__len__"):
-                    eval_every = max(len(batches) // max(tests_per_epoch, 1), 1)
                 if eval_every and (bi + 1) % eval_every == 0:
                     _run_eval(bundle, learner, valid_ds, logger, step,
                               args.eval_batches, args.ckpt)
