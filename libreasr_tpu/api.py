@@ -98,12 +98,21 @@ class ASRBundle:
     # ---- decoder endpoint bindings ----------------------------------------
 
     def decoder_fns(
-        self, use_lm: bool = True, variables=None, lm_variables=None
+        self,
+        use_lm: bool = True,
+        variables=None,
+        lm_variables=None,
+        quantized: bool = False,
     ) -> DecoderFns:
         """Bind decode endpoints to parameters.
 
         Pass `variables` explicitly inside a jitted program so params are
         traced arguments, not baked-in constants (which bloat the HLO).
+
+        quantized=True runs the joint network with int8 weights and
+        dynamic int8 activations on the MXU (the serving-side analog of
+        the reference's dynamic int8 quantization, utils.py:197-210);
+        requires joint_method='concat'.
         """
         model = self.model
         variables = self.variables if variables is None else variables
@@ -113,10 +122,31 @@ class ASRBundle:
                 variables, y, state=state, method=Transducer.predict
             )
 
-        def joint_step(h_pred, h_enc):
-            return model.apply(
-                variables, h_pred, h_enc, method=Transducer.joint_step
-            )
+        if quantized:
+            from .ops.quant import int8_matmul, quantize
+
+            assert self.cfg.joint_method == "concat"
+            jp = variables["params"]["joint"]
+            q_pred = quantize(jp["pred_proj"]["kernel"])
+            q_enc = quantize(jp["enc_proj"]["kernel"])
+            q_out = quantize(jp["out"]["kernel"])
+            b_pred = jp["pred_proj"]["bias"]
+            b_out = jp["out"]["bias"]
+
+            def joint_step(h_pred, h_enc):
+                hidden = jnp.tanh(
+                    int8_matmul(h_pred, q_pred)
+                    + int8_matmul(h_enc, q_enc)
+                    + b_pred
+                )
+                return int8_matmul(hidden, q_out) + b_out
+
+        else:
+
+            def joint_step(h_pred, h_enc):
+                return model.apply(
+                    variables, h_pred, h_enc, method=Transducer.joint_step
+                )
 
         lm_step = lm_init_state = None
         if use_lm and self.lm is not None:
