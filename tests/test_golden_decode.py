@@ -157,3 +157,18 @@ def test_bpe_bundle_lm_fusion_exact(golden, tmp_path):
         use_lm=True, lm_alpha=0.2, lm_beta=0.6,
     )
     assert texts == TEXTS
+
+
+def test_greedy_lm_fusion_exact(golden, tmp_path):
+    """Reference-style greedy LM fusion (standardize + blank pinning +
+    alpha-rescore of the argmax, lm.py:43-79) with the trained LM keeps
+    the golden set exact."""
+    _, audio = golden
+    bundle = ASRBundle.from_bundle(
+        os.path.join(FIXTURES, "model_bpe.tar.gz"),
+        extract_to=str(tmp_path),
+    )
+    texts, _ = bundle.transcribe_batch(
+        audio, np.full(8, 16000), use_lm=True
+    )
+    assert texts == TEXTS
