@@ -246,23 +246,35 @@ class ASRBundle:
         """Generator API over a chunk iterable (reference
         Transducer.transcribe_stream, models.py:457-577): yields
         (all_tokens, new_text, reset_fn) per fed chunk. Thin wrapper over
-        a single-slot StreamingEngine; for many concurrent streams use
-        StreamingEngine directly."""
+        a single-slot StreamingEngine — cached per (use_lm, config), so
+        repeated calls reuse the jitted step instead of recompiling; for
+        many concurrent streams use StreamingEngine directly."""
         from .models.streaming import StreamingConfig, StreamingEngine
 
-        scfg = StreamingConfig(sr=self.frontend.sr, **scfg_kw)
-        engine = StreamingEngine(self, n_streams=1, scfg=scfg, use_lm=use_lm)
+        key = ("stream_engine", use_lm, tuple(sorted(scfg_kw.items())))
+        engine = self._jit_cache.get(key)
+        if engine is None:
+            scfg = StreamingConfig(sr=self.frontend.sr, **scfg_kw)
+            engine = StreamingEngine(
+                self, n_streams=1, scfg=scfg, use_lm=use_lm
+            )
+            self._jit_cache[key] = engine
         slot = engine.open_slot()
 
         def reset_fn():
             engine._pending_reset_arr[slot] = True
             engine.emitted[slot] = []
 
-        for chunk in chunks:
-            if chunk is None:
-                continue
-            new_text = engine.feed(slot, np.asarray(chunk, np.float32).reshape(-1))
-            yield list(engine.emitted[slot]), new_text, reset_fn
+        try:
+            for chunk in chunks:
+                if chunk is None:
+                    continue
+                new_text = engine.feed(
+                    slot, np.asarray(chunk, np.float32).reshape(-1)
+                )
+                yield list(engine.emitted[slot]), new_text, reset_fn
+        finally:
+            engine.close_slot(slot)
 
     # ---- beam search -------------------------------------------------------
 

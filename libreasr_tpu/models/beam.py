@@ -85,6 +85,35 @@ def init_beam_state(
     )
 
 
+def collapse_to_best(beam: BeamState) -> BeamState:
+    """Collapse every stream's pool to its best beam: all K slots take the
+    best beam's predictor/LM state and history context, hypothesis buffers
+    empty, only slot 0 live (the init_beam_state pattern). Used by the
+    streaming engine's forced commit when the uncommitted-token buffer
+    saturates — diversity rebuilds from the next frame's top-k."""
+    n, k, cap = beam.y_buf.shape
+    best = jnp.argmax(beam.scores, axis=1)            # [N]
+    idx = jnp.broadcast_to(best[:, None], (n, k))
+
+    def take_nk(x):  # [N, K, ...] -> best beam broadcast over K
+        return jnp.take_along_axis(
+            x, idx.reshape(n, k, *([1] * (x.ndim - 2))), axis=1
+        )
+
+    best_score = jnp.take_along_axis(beam.scores, best[:, None], axis=1)
+    scores = jnp.full((n, k), NEG).at[:, 0].set(best_score[:, 0])
+    return BeamState(
+        pred_state=_gather_beams(beam.pred_state, idx, n, k),
+        h_pred=take_nk(beam.h_pred),
+        last_token=take_nk(beam.last_token[:, :, None])[:, :, 0],
+        scores=scores,
+        y_buf=jnp.zeros_like(beam.y_buf),
+        y_len=jnp.zeros_like(beam.y_len),
+        lm_state=_gather_beams(beam.lm_state, idx, n, k),
+        lm_logp=take_nk(beam.lm_logp),
+    )
+
+
 def _merge_pools(a: BeamState, b: BeamState, n: int, k: int) -> BeamState:
     """Top-K merge of two K-slot hypothesis pools (full state snapshots)."""
     all_scores = jnp.concatenate([a.scores, b.scores], axis=1)  # [N, 2K]

@@ -91,11 +91,17 @@ class StreamState(NamedTuple):
     primed: jax.Array        # [N] bool — first (warmup) frame consumed
 
 
-def _beam_committed_prefix(beam: BeamState):
+def _beam_committed_prefix(beam: BeamState, force_margin: int = 0):
     """Longest token prefix agreed by every live beam, per stream.
 
     Returns (tokens [N, L] from the best beam, lengths [N], shifted
-    BeamState with the committed prefix dropped from every buffer)."""
+    BeamState with the committed prefix dropped from every buffer).
+
+    force_margin > 0 adds a saturation fallback: a stream whose largest
+    uncommitted buffer is within `force_margin` tokens of capacity
+    force-commits its best beam's whole buffer and collapses the pool to
+    that beam (tokens are never silently dropped on a pathological
+    never-agreeing stream)."""
     n, k, cap = beam.y_buf.shape
     live = beam.scores > -1e29                     # [N, K]
     best = jnp.argmax(beam.scores, axis=1)         # [N]
@@ -126,6 +132,25 @@ def _beam_committed_prefix(beam: BeamState):
     committed = jnp.where(
         jnp.arange(cap)[None, :] < commit_len[:, None], ref[:, 0, :], 0
     )
+
+    if force_margin > 0:
+        from .beam import collapse_to_best
+
+        force = jnp.max(beam.y_len, axis=1) >= cap - force_margin  # [N]
+        committed = jnp.where(
+            force[:, None],
+            jnp.where(jnp.arange(cap)[None, :] < ref_len, ref[:, 0, :], 0),
+            committed,
+        )
+        commit_len = jnp.where(force, ref_len[:, 0], commit_len)
+        collapsed = collapse_to_best(beam)
+
+        def sel(a, b):
+            m = force if a.shape[0] == n else jnp.repeat(force, k)
+            return jnp.where(m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+
+        new_beam = jax.tree_util.tree_map(sel, collapsed, new_beam)
+
     return committed, commit_len, new_beam
 
 
@@ -166,8 +191,13 @@ class StreamingEngine:
         # host-side slot bookkeeping
         self.sample_buf = [np.zeros(0, np.float32) for _ in range(self.n)]
         self.emitted = [[] for _ in range(self.n)]
+        # per-slot undelivered text: every device step distributes every
+        # stepped slot's new text here (not just the calling slot's), so
+        # text decoded while another slot drove the step is never lost
+        self.outbox = [[] for _ in range(self.n)]
         self.silence_ms = np.zeros(self.n, np.int64)
         self.active = np.zeros(self.n, bool)
+        self._flushed = np.zeros(self.n, bool)  # beam tail already committed
         self._pending_reset_arr = np.zeros(self.n, bool)
         # latched once a stream emits EOS: suppress post-terminal tokens
         # until the next reset (silence auto-reset or reopen)
@@ -292,7 +322,10 @@ class StreamingEngine:
                 primed = primed | valid
 
             if beam:
-                toks, lens, dec = _beam_committed_prefix(dec)
+                # margin = worst-case tokens appended between commit checks
+                toks, lens, dec = _beam_committed_prefix(
+                    dec, force_margin=scfg.n_buffer * scfg.max_iters
+                )
             else:
                 toks, lens = dec.y_buf, dec.y_len
             new_state = StreamState(
@@ -388,7 +421,10 @@ class StreamingEngine:
                 self.active[i] = True
                 self.sample_buf[i] = np.zeros(0, np.float32)
                 self.emitted[i] = []
+                self.outbox[i] = []
                 self.silence_ms[i] = 0
+                self._eos_done[i] = False
+                self._flushed[i] = False
                 self._pending_reset[i] = True
                 return i
         raise RuntimeError("no free stream slots")
@@ -399,16 +435,26 @@ class StreamingEngine:
 
     def flush_slot(self, slot: int):
         """Beam mode: commit the best beam's remaining (uncommitted)
-        tokens when the stream ends."""
+        tokens when the stream ends (into emitted AND the outbox, so the
+        wire sees the tail too)."""
         if self.scfg.beam_width <= 1 or self.state is None:
             return
+        if self._eos_done[slot] or self._flushed[slot]:
+            return
+        self._flushed[slot] = True
         beam: BeamState = self.state.decode
         scores = np.asarray(beam.scores[slot])
         best = int(scores.argmax())
         n_rest = int(np.asarray(beam.y_len[slot, best]))
         if n_rest > 0:
-            rest = list(np.asarray(beam.y_buf[slot, best, :n_rest]))
-            self.emitted[slot].extend(int(t) for t in rest)
+            ids = [int(t) for t in np.asarray(beam.y_buf[slot, best, :n_rest])]
+            eos = getattr(self.bundle.lang, "eos", None)
+            if eos is not None and eos in ids:
+                ids = ids[: ids.index(eos)]
+                self._eos_done[slot] = True
+            if ids:
+                self.emitted[slot].extend(ids)
+                self.outbox[slot].append(self.bundle.lang.denumericalize(ids))
             # drop the flushed tokens from the device-side buffers so a
             # reopened slot starts clean (slot reset handles the rest)
             self._pending_reset_arr[slot] = True
@@ -417,54 +463,99 @@ class StreamingEngine:
     def _pending_reset(self):
         return self._pending_reset_arr
 
+    # ---- stepping ------------------------------------------------------
+
+    @property
+    def samples_per_step(self) -> int:
+        return self.scfg.chunk_samples * self.scfg.n_buffer
+
+    def append_samples(self, slot: int, pcm: np.ndarray):
+        self.sample_buf[slot] = np.concatenate([self.sample_buf[slot], pcm])
+
+    def ready_slots(self):
+        need = self.samples_per_step
+        return [
+            i for i in range(self.n)
+            if self.active[i] and len(self.sample_buf[i]) >= need
+        ]
+
+    def step_ready(self) -> bool:
+        """Run ONE device step over every slot with a full buffered chunk;
+        distribute each stepped slot's new text into its outbox. Returns
+        whether a step ran. This is the serving hot path: all arrivals
+        since the last step share the step (coalescing)."""
+        scfg = self.scfg
+        c, need = scfg.chunk_samples, self.samples_per_step
+        ready = self.ready_slots()
+        if not ready:
+            return False
+        chunks = np.zeros((self.n, scfg.n_buffer, c), np.float32)
+        valid = np.zeros(self.n, bool)
+        for i in ready:
+            chunks[i] = self.sample_buf[i][:need].reshape(scfg.n_buffer, c)
+            self.sample_buf[i] = self.sample_buf[i][need:]
+            valid[i] = True
+        reset = self._pending_reset & valid
+        toks, lens = self.step_batch(chunks, valid, reset)
+        self._eos_done[np.asarray(reset)] = False
+        self._pending_reset_arr[valid] = False
+        eos = getattr(self.bundle.lang, "eos", None)
+        for i in np.nonzero(valid)[0]:
+            ids = list(toks[i, : lens[i]])
+            # once EOS latched, everything further is post-terminal
+            # drift until the stream resets
+            if self._eos_done[i]:
+                ids = []
+            elif eos is not None and eos in ids:
+                # EOS ends the utterance: truncate and latch
+                ids = ids[: ids.index(eos)]
+                self._eos_done[i] = True
+                if ids:
+                    self.emitted[i].extend(ids)
+                    self.outbox[i].append(self.bundle.lang.denumericalize(ids))
+                continue
+            if ids:
+                self.silence_ms[i] = 0
+                self.emitted[i].extend(ids)
+                self.outbox[i].append(self.bundle.lang.denumericalize(ids))
+            else:
+                self.silence_ms[i] += scfg.chunk_ms * scfg.n_buffer
+                if self.silence_ms[i] >= scfg.reset_thresh_ms:
+                    self._pending_reset_arr[i] = True
+                    self.silence_ms[i] = 0
+        return True
+
+    def drain(self, slot: int) -> str:
+        """Pop this slot's undelivered text."""
+        text = "".join(self.outbox[slot])
+        self.outbox[slot] = []
+        return text
+
     def feed(self, slot: int, pcm: np.ndarray) -> str:
         """Feed pcm into a slot; runs device steps for every complete
         80 ms chunk across all slots; returns newly decoded text for
-        this slot."""
-        scfg = self.scfg
-        c = scfg.chunk_samples
-        self.sample_buf[slot] = np.concatenate([self.sample_buf[slot], pcm])
-        new_text = []
-        while len(self.sample_buf[slot]) >= c * scfg.n_buffer:
-            chunks = np.zeros((self.n, scfg.n_buffer, c), np.float32)
-            valid = np.zeros(self.n, bool)
-            for i in range(self.n):
-                if self.active[i] and len(self.sample_buf[i]) >= c * scfg.n_buffer:
-                    take = self.sample_buf[i][: c * scfg.n_buffer]
-                    chunks[i] = take.reshape(scfg.n_buffer, c)
-                    self.sample_buf[i] = self.sample_buf[i][c * scfg.n_buffer :]
-                    valid[i] = True
-            reset = self._pending_reset & valid
-            toks, lens = self.step_batch(chunks, valid, reset)
-            self._eos_done[np.asarray(reset)] = False
-            self._pending_reset_arr[valid] = False
-            eos = getattr(self.bundle.lang, "eos", None)
-            for i in np.nonzero(valid)[0]:
-                ids = list(toks[i, : lens[i]])
-                # once EOS latched, everything further is post-terminal
-                # drift until the stream resets
-                if self._eos_done[i]:
-                    ids = []
-                elif eos is not None and eos in ids:
-                    # EOS ends the utterance: truncate and latch
-                    ids = ids[: ids.index(eos)]
-                    self._eos_done[i] = True
-                    if ids:
-                        self.emitted[i].extend(ids)
-                        if i == slot:
-                            new_text.append(self.bundle.lang.denumericalize(ids))
-                    continue
-                if ids:
-                    self.silence_ms[i] = 0
-                    self.emitted[i].extend(ids)
-                    if i == slot:
-                        new_text.append(self.bundle.lang.denumericalize(ids))
-                else:
-                    self.silence_ms[i] += scfg.chunk_ms * scfg.n_buffer
-                    if self.silence_ms[i] >= scfg.reset_thresh_ms:
-                        self._pending_reset_arr[i] = True
-                        self.silence_ms[i] = 0
-        return "".join(new_text)
+        this slot (including text from steps driven by other slots)."""
+        self.append_samples(slot, pcm)
+        while len(self.sample_buf[slot]) >= self.samples_per_step:
+            self.step_ready()
+        return self.drain(slot)
+
+    def finish_slot(self, slot: int) -> str:
+        """Stream end: zero-pad the sub-chunk sample remainder, run the
+        final step(s), force-commit the beam tail, and return everything
+        undelivered — so a client that stops sending still receives its
+        full transcript (reference drains everything it decodes,
+        api-server.py:115-132)."""
+        if not self.active[slot]:
+            return self.drain(slot)
+        need = self.samples_per_step
+        rem = len(self.sample_buf[slot])
+        if rem > 0 and rem % need:
+            self.append_samples(slot, np.zeros(need - rem % need, np.float32))
+        while len(self.sample_buf[slot]) >= need:
+            self.step_ready()
+        self.flush_slot(slot)
+        return self.drain(slot)
 
     def transcript(self, slot: int) -> str:
         return self.bundle.lang.denumericalize(self.emitted[slot])

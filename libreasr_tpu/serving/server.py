@@ -46,6 +46,132 @@ class StageTimings:
             }
 
 
+class StreamHandle:
+    """One connection's view of a stream slot (slot id + generation).
+
+    The generation guards against a stale pump thread acting on a slot
+    after it was closed and reopened by a newer connection."""
+
+    __slots__ = ("stepper", "slot", "gen")
+
+    def __init__(self, stepper, slot, gen):
+        self.stepper = stepper
+        self.slot = slot
+        self.gen = gen
+
+    def submit(self, pcm):
+        self.stepper._enqueue("pcm", self.slot, self.gen, pcm)
+
+    def finish(self):
+        self.stepper._enqueue("finish", self.slot, self.gen, None)
+
+    def release(self):
+        self.stepper._enqueue("close", self.slot, self.gen, None)
+
+    def poll(self, timeout: float = 0.1):
+        return self.stepper._poll(self.slot, timeout)
+
+
+class BatchStepper:
+    """Dedicated device-step thread: coalesces every connection's arrivals
+    into shared batched engine steps.
+
+    gRPC handler threads only append pcm to a staging queue and read
+    per-slot delivery queues — they never touch the device, so a slow
+    step can't head-of-line-block other connections' feeds, and N
+    concurrent streams cost ~1 device step per chunk interval instead of
+    up to N (the round-1 per-feed-lock design). All engine access happens
+    on this thread (the engine's device state is donated per step and
+    must not be read concurrently)."""
+
+    def __init__(self, engine, timings: StageTimings | None = None):
+        self.engine = engine
+        self.timings = timings
+        self.cv = threading.Condition()
+        self._staging: list[tuple] = []
+        self._delivery: list[list[str]] = [[] for _ in range(engine.n)]
+        self._finished = [False] * engine.n
+        self._gen = [0] * engine.n
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._run, name="asr-stepper", daemon=True
+        )
+        self._thread.start()
+
+    def open(self) -> StreamHandle:
+        with self.cv:
+            slot = self.engine.open_slot()  # host-only bookkeeping
+            self._gen[slot] += 1
+            self._delivery[slot] = []
+            self._finished[slot] = False
+            return StreamHandle(self, slot, self._gen[slot])
+
+    def shutdown(self):
+        with self.cv:
+            self._stop = True
+            self.cv.notify_all()
+        self._thread.join(timeout=5)
+
+    # -- internal ----------------------------------------------------------
+
+    def _enqueue(self, kind, slot, gen, payload):
+        with self.cv:
+            self._staging.append((kind, slot, gen, payload))
+            self.cv.notify_all()
+
+    def _poll(self, slot, timeout):
+        with self.cv:
+            self.cv.wait_for(
+                lambda: self._delivery[slot] or self._finished[slot],
+                timeout,
+            )
+            text = "".join(self._delivery[slot])
+            self._delivery[slot] = []
+            return text, self._finished[slot]
+
+    def _run(self):
+        eng = self.engine
+        while True:
+            with self.cv:
+                self.cv.wait_for(lambda: self._staging or self._stop, 0.25)
+                if self._stop:
+                    return
+                staging, self._staging = self._staging, []
+            if not staging:
+                continue
+            # current-generation items only (per-slot order is preserved:
+            # a connection's pcm precedes its finish precedes its close)
+            live = [it for it in staging if it[2] == self._gen[it[1]]]
+            for kind, slot, _, pcm in live:
+                if kind == "pcm":
+                    eng.append_samples(slot, pcm)
+            t0 = time.perf_counter()
+            stepped = False
+            while eng.step_ready():
+                stepped = True
+            finished_now = []
+            for kind, slot, _, _ in live:
+                if kind == "finish":
+                    # final pad + steps + beam flush; returns the tail text
+                    tail = eng.finish_slot(slot)
+                    stepped = True
+                    finished_now.append((slot, tail))
+                elif kind == "close":
+                    eng.close_slot(slot)
+            if stepped and self.timings is not None:
+                self.timings.record("stream_step", time.perf_counter() - t0)
+            with self.cv:
+                for i in range(eng.n):
+                    t = eng.drain(i)
+                    if t:
+                        self._delivery[i].append(t)
+                for s, tail in finished_now:
+                    if tail:
+                        self._delivery[s].append(tail)
+                    self._finished[s] = True
+                self.cv.notify_all()
+
+
 class ASRServicer:
     """Implements ASR.ASR (reference ASRServicer, api-server.py:53-135)."""
 
@@ -73,8 +199,8 @@ class ASRServicer:
                 use_lm=use_lm and bundle.lm is not None,
             )
         self.engine = engine
-        self._lock = threading.Lock()
         self.timings = StageTimings()
+        self.stepper = BatchStepper(engine, self.timings)
 
     # -- unary -------------------------------------------------------------
 
@@ -99,11 +225,14 @@ class ASRServicer:
     # -- streaming -----------------------------------------------------------
 
     def TranscribeStream(self, request_iterator, context=None):
-        """80 ms wire chunks in -> transcript diffs out (api-server.py:82-135).
-        Duplicate-diff suppression matches the reference (:122-132)."""
+        """80 ms wire chunks in -> transcript diff fragments out
+        (api-server.py:82-135). A pump thread drains the request iterator
+        into the shared BatchStepper; this generator yields text as the
+        stepper delivers it — including the end-of-stream flush (final
+        padded step + beam-tail commit), which the reference also drains
+        (api-server.py:115-132)."""
         try:
-            with self._lock:
-                slot = self.engine.open_slot()
+            handle = self.stepper.open()
         except RuntimeError:
             if context is not None:
                 import grpc
@@ -112,27 +241,36 @@ class ASRServicer:
                     grpc.StatusCode.RESOURCE_EXHAUSTED, "no free stream slots"
                 )
             raise
-        last = ""
+
+        target_sr = self.bundle.frontend.sr
+
+        def pump():
+            try:
+                for msg in request_iterator:
+                    pcm = tensorize(msg.data)
+                    if msg.sr and msg.sr != target_sr:
+                        from ..data.audio import resample
+
+                        pcm = resample(pcm, msg.sr, target_sr)
+                    handle.submit(pcm)
+            except Exception:
+                pass  # client went away; flush what we have
+            finally:
+                handle.finish()
+
+        threading.Thread(target=pump, daemon=True).start()
         try:
-            for msg in request_iterator:
-                pcm = tensorize(msg.data)
-                if msg.sr and msg.sr != self.bundle.frontend.sr:
-                    from ..data.audio import resample
-
-                    pcm = resample(pcm, msg.sr, self.bundle.frontend.sr)
-                t0 = time.perf_counter()
-                with self._lock:
-                    new_text = self.engine.feed(slot, pcm)
-                self.timings.record("stream_chunk", time.perf_counter() - t0)
-                if new_text and new_text != last:
-                    last = new_text
-                    yield proto.Transcript(data=new_text)
+            while True:
+                text, finished = handle.poll(timeout=0.1)
+                if text:
+                    yield proto.Transcript(data=text)
+                elif finished:
+                    break
         finally:
-            with self._lock:
-                self.engine.close_slot(slot)
+            handle.release()
 
 
-def make_server(bundle, port: int, workers: int = 4, engine=None,
+def make_server(bundle, port: int, workers: int = 128, engine=None,
                 beam_width: int = 0, use_lm: bool = False):
     """grpc server with hand-rolled method handlers (no generated stubs;
     the image lacks grpc_tools)."""

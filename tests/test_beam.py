@@ -175,3 +175,52 @@ def test_beam_jittable(setup, rng):
 
     toks, lens, scores = run(enc_out, jnp.array([5, 5]))
     assert toks.shape == (2, 16) and scores.shape == (2,)
+
+
+def test_committed_prefix_forced_commit_on_saturation():
+    """When a stream's uncommitted buffer nears capacity, the committed-
+    prefix rule force-commits the best beam's whole buffer and collapses
+    the pool to that beam — tokens are never silently dropped on a
+    never-agreeing stream."""
+    import jax.numpy as jnp
+
+    from libreasr_tpu.models.beam import NEG, BeamState
+    from libreasr_tpu.models.streaming import _beam_committed_prefix
+
+    n, k, cap, v, h = 2, 2, 8, 5, 3
+    # stream 0: beams disagree from position 0 and are nearly full
+    # stream 1: beams agree on a 2-token prefix, far from full
+    y_buf = jnp.zeros((n, k, cap), jnp.int32)
+    y_buf = y_buf.at[0, 0, :7].set(jnp.arange(1, 8))
+    y_buf = y_buf.at[0, 1, :6].set(jnp.arange(11, 17))
+    y_buf = y_buf.at[1, 0, :3].set(jnp.array([4, 4, 2]))
+    y_buf = y_buf.at[1, 1, :2].set(jnp.array([4, 4]))
+    y_len = jnp.array([[7, 6], [3, 2]], jnp.int32)
+    st = BeamState(
+        pred_state=(jnp.arange(n * k * h, dtype=jnp.float32).reshape(n * k, h),),
+        h_pred=jnp.ones((n, k, h)),
+        last_token=jnp.array([[7, 16], [2, 4]], jnp.int32),
+        scores=jnp.array([[0.0, -1.0], [-0.5, 0.0]]),
+        y_buf=y_buf,
+        y_len=y_len,
+        lm_state=(),
+        lm_logp=jnp.zeros((n, k, v)),
+    )
+    committed, commit_len, out = _beam_committed_prefix(st, force_margin=2)
+    committed, commit_len = np.asarray(committed), np.asarray(commit_len)
+
+    # stream 0 forced: full best-beam buffer committed, pool collapsed
+    assert commit_len[0] == 7
+    assert list(committed[0, :7]) == list(range(1, 8))
+    assert np.asarray(out.y_len)[0].tolist() == [0, 0]
+    assert np.asarray(out.scores)[0, 0] == 0.0
+    assert np.asarray(out.scores)[0, 1] <= NEG / 2
+    # collapsed predictor state: both beams take beam 0's rows
+    ps = np.asarray(out.pred_state[0]).reshape(n, k, h)
+    np.testing.assert_array_equal(ps[0, 1], ps[0, 0])
+
+    # stream 1 normal: agreed 2-token prefix committed, buffers shifted
+    assert commit_len[1] == 2
+    assert list(committed[1, :2]) == [4, 4]
+    assert np.asarray(out.y_len)[1].tolist() == [1, 0]
+    assert np.asarray(out.y_buf)[1, 0, 0] == 2

@@ -114,14 +114,118 @@ def test_grpc_wire_exact(golden):
         )
 
         def chunks():
+            # NO trailing zero padding: the server's end-of-stream flush
+            # must pad the frontend remainder and drain the final tokens
+            # (reference drains everything it decodes, api-server.py:115-132)
             for off in range(0, 16000, 1280):
                 yield proto.Audio(
                     data=audio[3, off : off + 1280].tobytes(), sr=16000
                 )
-            yield proto.Audio(data=np.zeros(1280, np.float32).tobytes(), sr=16000)
 
         pieces = [t.data for t in stream(chunks())]
         assert "".join(pieces) == "stop now"
+        channel.close()
+    finally:
+        server.stop(0)
+
+
+def test_grpc_wire_beam_flush_exact(golden):
+    """Beam-mode streaming over the wire WITHOUT client padding: the
+    end-of-stream flush must run the final padded step AND commit the
+    beam's uncommitted tail before the RPC closes, so the client receives
+    the complete exact transcript."""
+    import socket
+
+    import grpc
+
+    from libreasr_tpu.models.streaming import StreamingConfig, StreamingEngine
+    from libreasr_tpu.serving import proto
+    from libreasr_tpu.serving.server import make_server
+
+    bundle, audio = golden
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    engine = StreamingEngine(
+        bundle, n_streams=2,
+        scfg=StreamingConfig(sr=16000, beam_width=3),
+    )
+    server, _ = make_server(bundle, port, engine=engine)
+    server.start()
+    try:
+        channel = grpc.insecure_channel(f"localhost:{port}")
+        stream = channel.stream_stream(
+            proto.METHOD_TRANSCRIBE_STREAM,
+            request_serializer=proto.Audio.SerializeToString,
+            response_deserializer=proto.Transcript.FromString,
+        )
+
+        def chunks(i):
+            for off in range(0, 16000, 1280):
+                yield proto.Audio(
+                    data=audio[i, off : off + 1280].tobytes(), sr=16000
+                )
+
+        assert "".join(t.data for t in stream(chunks(2))) == "hello world"
+        # second stream on the same engine (slot reuse after flush)
+        assert "".join(t.data for t in stream(chunks(3))) == "stop now"
+        channel.close()
+    finally:
+        server.stop(0)
+
+
+def test_grpc_wire_concurrent_exact(golden):
+    """Two concurrent wire streams each receive their own exact
+    transcript — text decoded during a device step driven by the other
+    stream's arrivals must still be delivered to its own RPC (the
+    round-1 per-feed design dropped it)."""
+    import socket
+    import threading
+
+    import grpc
+
+    from libreasr_tpu.models.streaming import StreamingEngine
+    from libreasr_tpu.serving import proto
+    from libreasr_tpu.serving.server import make_server
+
+    bundle, audio = golden
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    engine = StreamingEngine(bundle, n_streams=4)
+    server, _ = make_server(bundle, port, engine=engine)
+    server.start()
+    try:
+        channel = grpc.insecure_channel(f"localhost:{port}")
+        stream = channel.stream_stream(
+            proto.METHOD_TRANSCRIBE_STREAM,
+            request_serializer=proto.Audio.SerializeToString,
+            response_deserializer=proto.Transcript.FromString,
+        )
+
+        def chunks(i, delay):
+            import time as _t
+
+            for off in range(0, 16000, 1280):
+                yield proto.Audio(
+                    data=audio[i, off : off + 1280].tobytes(), sr=16000
+                )
+                _t.sleep(delay)
+
+        results = {}
+
+        def run(name, i, delay):
+            results[name] = "".join(t.data for t in stream(chunks(i, delay)))
+
+        threads = [
+            threading.Thread(target=run, args=("a", 2, 0.0)),
+            threading.Thread(target=run, args=("b", 3, 0.02)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert results == {"a": "hello world", "b": "stop now"}
         channel.close()
     finally:
         server.stop(0)

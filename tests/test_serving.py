@@ -75,21 +75,30 @@ def test_empty_messages():
 
 
 @pytest.fixture(scope="module")
-def bundle():
-    from libreasr_tpu.api import ASRBundle
-    from libreasr_tpu.config import apply_overrides, open_config
+def bundle(tmp_path_factory):
+    """The trained golden bundle — serving tests assert exact transcripts
+    instead of accepting whatever a random model emits."""
+    import os
 
-    conf = open_config("config/base.yaml")
-    conf = apply_overrides(conf, ["inference"])
-    conf["model"].update(
-        feature_sz=1280, embed_sz=8, hidden_sz=16, out_sz=16,
-        joint_sz=16, vocab_sz=40,
+    from libreasr_tpu.api import ASRBundle
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+    return ASRBundle.from_bundle(
+        os.path.join(fixtures, "model.tar.gz"),
+        extract_to=str(tmp_path_factory.mktemp("serving_golden")),
     )
-    conf["model"]["encoder"]["num_layers"] = 1
-    conf["model"]["predictor"]["num_layers"] = 1
-    conf["lm"]["enable"] = False
-    conf["dtypes"]["compute"] = "float32"
-    return ASRBundle.from_config(conf)
+
+
+@pytest.fixture(scope="module")
+def golden_audio():
+    import os
+
+    from libreasr_tpu.data.audio import read_audio
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+    pcm, sr = read_audio(os.path.join(fixtures, "s-002.wav"))  # "hello world"
+    assert sr == 16000
+    return pcm[0]
 
 
 @pytest.fixture(scope="module")
@@ -200,7 +209,7 @@ def test_bridge_serves_web_client():
     assert "LibreASR" in html and "asupersecretwebsocketpath345" in html
 
 
-def test_ws_bridge_e2e(live_server, bundle):
+def test_ws_bridge_e2e(live_server, bundle, golden_audio):
     """browser-protocol WS frames -> bridge -> gRPC -> engine -> text."""
     import asyncio
     import socket
@@ -229,20 +238,21 @@ def test_ws_bridge_e2e(live_server, bundle):
     t.start()
     time.sleep(1.0)
 
-    rng = np.random.default_rng(0)
     got = []
     with connect(f"ws://localhost:{ws_port}{WS_PATH}") as ws:
         header = b"en\x00\x00" + struct.pack("<f", 16000.0)
-        for _ in range(10):
-            pcm = (rng.standard_normal(1280) * 0.3).astype(np.float32)
-            ws.send(header + pcm.tobytes())
-        # collect whatever transcripts arrive within the idle window
+        audio = np.asarray(golden_audio, np.float32)
+        for off in range(0, len(audio), 1280):
+            ws.send(header + audio[off : off + 1280].tobytes())
+        ws.send(header + np.zeros(1280, np.float32).tobytes())
+        # collect transcript fragments until the idle window closes
         ws.socket.settimeout(3.0)
         try:
-            while True:
+            while "hello world" not in "".join(got):
                 got.append(ws.recv(timeout=3.0))
         except Exception:
             pass
     loop_holder["loop"].add_callback(loop_holder["loop"].stop)
-    # transcripts are strings (possibly none for random noise + random weights)
-    assert all(isinstance(g, str) for g in got)
+    # the exact trained-bundle transcript made it through the whole
+    # ws -> bridge -> grpc -> engine -> back chain
+    assert "hello world" in "".join(got)
