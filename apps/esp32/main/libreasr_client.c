@@ -4,7 +4,7 @@
  *
  *  - I2S MEMS microphone at 16 kHz mono
  *  - 80 ms frames (1280 samples), int16 -> float32 scaled by 1/32768
- *  -每 frame sent as one binary WebSocket message:
+ *  - each frame sent as one binary WebSocket message:
  *      [4B lang ascii][4B float32 sample-rate][1280 x float32 pcm]
  *  - transcripts arrive as text messages; "german"/"english" voice
  *    commands switch the language header (reference :105-141)

@@ -21,9 +21,12 @@ import time
 import numpy as np
 
 
-def build_bundle():
-    import jax.numpy as jnp
-
+def build_bundle(blank_bias: float = 6.0):
+    """Flagship-shaped bundle with the joint's blank logit offset by
+    `blank_bias`. Random weights sit on a sharp cliff: +6 never emits
+    (pure-blank steps, the decode lower bound), 0 emits ~max_iters
+    tokens every frame (the decode upper bound). Trained models live
+    between the two; bench sweeps report both bounds."""
     from libreasr_tpu.api import ASRBundle
     from libreasr_tpu.config import apply_overrides, open_config
 
@@ -32,13 +35,10 @@ def build_bundle():
     conf["lm"]["enable"] = False
     conf["dtypes"]["compute"] = "bfloat16"
     bundle = ASRBundle.from_config(conf)
-    # bias the joint toward blank so decode behaves like a trained model
-    # (mostly blank, ~0-2 tokens/frame) instead of random-weight max_iters
-    # emissions every frame
     params = dict(bundle.variables["params"])
     joint = dict(params["joint"])
     out = dict(joint["out"])
-    out["bias"] = out["bias"].at[0].add(6.0)
+    out["bias"] = out["bias"].at[0].add(blank_bias)
     joint["out"] = out
     params["joint"] = joint
     bundle.variables = {**bundle.variables, "params": params}

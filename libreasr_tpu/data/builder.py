@@ -34,10 +34,19 @@ class ASRDatasetBuilder:
             if not os.path.exists(csv):
                 csv = os.path.join(path, "asr-dataset.csv")
             df = pd.read_csv(csv)
-            # resolve relative audio paths against the dataset dir
-            df["file"] = df["file"].map(
-                lambda p: p if os.path.isabs(str(p)) else os.path.join(path, str(p))
-            )
+
+            # resolve relative audio paths against the dataset dir —
+            # unless the CSV already embeds the dataset prefix (the
+            # create_dataset CLI writes root-prefixed paths when invoked
+            # with a relative root), in which case joining again would
+            # double the prefix
+            def _resolve(p):
+                p = str(p)
+                if os.path.isabs(p) or os.path.exists(p):
+                    return p
+                return os.path.join(path, p)
+
+            df["file"] = df["file"].map(_resolve)
             frames.append(df)
         if not frames:
             df = pd.DataFrame(columns=CSV_COLUMNS)

@@ -48,6 +48,11 @@ class RNNLayer(nn.Module):
     zoneout: float = 0.0
     dropconnect: float = 0.0
     compute_dtype: Any = None
+    # "pack": zero outputs + freeze state past `lengths` (torch
+    # pack_padded, the reference's LSTM/GRU path); "haste": full-length
+    # outputs, returned state read off at `lengths` (the reference's
+    # NBRC path, layers/haste/base_rnn.py:49-60)
+    length_mode: str = "pack"
 
     def initial_state(self, params_scope_unused, batch: int):
         """Expand the learnable h0 to a batch (called via .apply)."""
@@ -84,6 +89,7 @@ class RNNLayer(nn.Module):
             rng=rng,
             training=train,
             compute_dtype=self.compute_dtype,
+            length_mode=self.length_mode,
         )
         return y, new_state
 
@@ -105,6 +111,7 @@ class RNNStack(nn.Module):
     rezero: bool = False
     use_norm: bool = True
     compute_dtype: Any = None
+    length_mode: str = "pack"  # see RNNLayer.length_mode
 
     def _cell_type(self) -> str:
         if self.rnn_type == "LSTM" and self.layer_norm:
@@ -130,6 +137,7 @@ class RNNStack(nn.Module):
                 zoneout=self.zoneout,
                 dropconnect=self.dropconnect,
                 compute_dtype=self.compute_dtype,
+                length_mode=self.length_mode,
                 name=f"layer{i}",
             )
             x, st = layer(
@@ -181,6 +189,9 @@ class Encoder(nn.Module):
             reduction_indices=self.reduction_indices,
             reduction_factors=self.reduction_factors,
             compute_dtype=self.compute_dtype,
+            # reference dispatch (custom_rnn.py:20-49): LSTM/GRU run
+            # through torch pack_padded, NBRC through haste
+            length_mode="haste" if self.rnn_type == "NBRC" else "pack",
             name="rnn_stack",
         )(x, state=state, lengths=lengths, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -220,6 +231,7 @@ class Predictor(nn.Module):
             layer_norm=self.layer_norm,
             zoneout=self.zoneout,
             compute_dtype=self.compute_dtype,
+            length_mode="haste" if self.rnn_type == "NBRC" else "pack",
             name="rnn_stack",
         )(x=emb, state=state, lengths=lengths, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

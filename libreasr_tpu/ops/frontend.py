@@ -256,13 +256,10 @@ def stacked_length(t_frames, *, n_stack: int = 10, downsample: int = 8):
     return jnp.maximum((t_frames - n_stack) // downsample + 1, 0)
 
 
-def stream_postprocess(spectro: jnp.ndarray, *, n_stack: int = 10) -> jnp.ndarray:
-    """Keep the middle third of a chunk's spectrogram — frames
-    [T//3+1 : T//3+1+n_stack] (reference StreamPostprocess,
-    transforms.py:326-342). [T, F] -> [<=n_stack, F]."""
-    t = spectro.shape[-2]
-    a = t // 3 + 1
-    return spectro[..., a : a + n_stack, :]
+# NOTE: the reference's StreamPostprocess middle-third crop
+# (transforms.py:326-342) has no equivalent here by design: the exact
+# incremental frontend (models/streaming.py) makes the crop-and-overlap
+# scheme unnecessary.
 
 
 # ---------------------------------------------------------------------------

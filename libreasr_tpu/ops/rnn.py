@@ -131,14 +131,26 @@ def _zoneout_masks(rng, p: float, t: int, shape, training: bool):
 
 
 def _length_gate(t_idx, lengths, new, old):
-    """Freeze state past each sequence's length (pack_padded semantics,
-    custom_rnn.py:162-172)."""
+    """Freeze state past each sequence's length and zero the output
+    (torch pack_padded/pad_packed semantics — the reference's LSTM/GRU
+    path, custom_rnn.py:162-172)."""
     if lengths is None:
         return new, new
     valid = (t_idx < lengths)[:, None]
     carried = jnp.where(valid, new, old)
     output = jnp.where(valid, new, jnp.zeros_like(new))
     return carried, output
+
+
+def _snap_gate(t_idx, lengths, new, snap):
+    """haste semantics (the reference's NBRC path,
+    layers/haste/base_rnn.py:49-60): the recurrence rolls through the
+    whole padded sequence and outputs are kept everywhere; only the
+    *returned* state is read off at each sequence's length. `snap`
+    carries that snapshot."""
+    if lengths is None:
+        return new
+    return jnp.where((t_idx < lengths)[:, None], new, snap)
 
 
 def lstm_scan(
@@ -152,6 +164,7 @@ def lstm_scan(
     rng: jax.Array | None = None,
     training: bool = False,
     compute_dtype=None,
+    length_mode: str = "pack",
 ):
     """x: [N, T, I]; state: (h, c) each [N, H]. Returns (y [N,T,H], (h,c))."""
     n, t, _ = x.shape
@@ -170,19 +183,27 @@ def lstm_scan(
     )
     t_ids = jnp.arange(t)
 
+    haste = length_mode == "haste"
+
     def step(carry, inp):
-        h, c = carry
+        h, c, sh, sc = carry
         wx_t, zm, ti = inp
         v = _mm(h, rk, compute_dtype) + wx_t
         i, g, f, o = jnp.split(v, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         h_new = _apply_zoneout(h_new, h, zoneout, zm, training)
+        if haste:
+            return (h_new, c_new, _snap_gate(ti, lengths, h_new, sh),
+                    _snap_gate(ti, lengths, c_new, sc)), h_new
         h_c, y = _length_gate(ti, lengths, h_new, h)
         c_c, _ = _length_gate(ti, lengths, c_new, c)
-        return (h_c, c_c), y
+        return (h_c, c_c, sh, sc), y
 
-    (hf, cf), ys = jax.lax.scan(step, (h0, c0), (wx, zmask, t_ids))
+    (hc, cc, hs, cs), ys = jax.lax.scan(
+        step, (h0, c0, h0, c0), (wx, zmask, t_ids)
+    )
+    hf, cf = (hs, cs) if haste else (hc, cc)
     return jnp.moveaxis(ys, 0, 1), (hf, cf)
 
 
@@ -197,6 +218,7 @@ def gru_scan(
     rng: jax.Array | None = None,
     training: bool = False,
     compute_dtype=None,
+    length_mode: str = "pack",
 ):
     """x: [N, T, I]; state: (h,) [N, H]. Covers both GRU and "NBRC"."""
     n, t, _ = x.shape
@@ -215,8 +237,10 @@ def gru_scan(
     )
     t_ids = jnp.arange(t)
 
+    haste = length_mode == "haste"
+
     def step(carry, inp):
-        (h,) = carry
+        h, sh = carry
         wx_t, zm, ti = inp
         rh = _mm(h, rk, compute_dtype) + params.recurrent_bias
         wz, wr, wg = jnp.split(wx_t, 3, axis=-1)
@@ -226,11 +250,13 @@ def gru_scan(
         g = jnp.tanh(wg + r * rg)
         h_new = z * h + (1.0 - z) * g
         h_new = _apply_zoneout(h_new, h, zoneout, zm, training)
+        if haste:
+            return (h_new, _snap_gate(ti, lengths, h_new, sh)), h_new
         h_c, y = _length_gate(ti, lengths, h_new, h)
-        return (h_c,), y
+        return (h_c, sh), y
 
-    (hf,), ys = jax.lax.scan(step, (h0,), (wx, zmask, t_ids))
-    return jnp.moveaxis(ys, 0, 1), (hf,)
+    (hc, hs), ys = jax.lax.scan(step, (h0, h0), (wx, zmask, t_ids))
+    return jnp.moveaxis(ys, 0, 1), (hs if haste else hc,)
 
 
 def layernorm_lstm_scan(
@@ -244,6 +270,7 @@ def layernorm_lstm_scan(
     rng: jax.Array | None = None,
     training: bool = False,
     compute_dtype=None,
+    length_mode: str = "pack",
 ):
     """LayerNorm LSTM (haste layer_norm_lstm.py:34-): LN on Wx and Rh
     separately (scale-only), LN with scale+shift on the cell before the
@@ -265,8 +292,10 @@ def layernorm_lstm_scan(
     )
     t_ids = jnp.arange(t)
 
+    haste = length_mode == "haste"
+
     def step(carry, inp):
-        h, c = carry
+        h, c, sh, sc = carry
         wx_t, zm, ti = inp
         rh = _ln(_mm(h, rk, compute_dtype), params.gamma[1])
         v = rh + wx_t + params.bias
@@ -275,11 +304,17 @@ def layernorm_lstm_scan(
         c_out = _ln(c_new, params.gamma_h, params.beta_h)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_out)
         h_new = _apply_zoneout(h_new, h, zoneout, zm, training)
+        if haste:
+            return (h_new, c_new, _snap_gate(ti, lengths, h_new, sh),
+                    _snap_gate(ti, lengths, c_new, sc)), h_new
         h_c, y = _length_gate(ti, lengths, h_new, h)
         c_c, _ = _length_gate(ti, lengths, c_new, c)
-        return (h_c, c_c), y
+        return (h_c, c_c, sh, sc), y
 
-    (hf, cf), ys = jax.lax.scan(step, (h0, c0), (wx, zmask, t_ids))
+    (hc, cc, hs, cs), ys = jax.lax.scan(
+        step, (h0, c0, h0, c0), (wx, zmask, t_ids)
+    )
+    hf, cf = (hs, cs) if haste else (hc, cc)
     return jnp.moveaxis(ys, 0, 1), (hf, cf)
 
 

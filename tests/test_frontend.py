@@ -88,13 +88,6 @@ def test_mask_freq_changes_bands(rng):
     assert (np.asarray(out) != np.asarray(x)).any()
 
 
-def test_stream_postprocess():
-    x = jnp.arange(30 * 4).reshape(30, 4).astype(jnp.float32)
-    out = fe.stream_postprocess(x, n_stack=10)
-    # keeps frames [30//3+1 : +10] = [11:21]
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(x[11:21]))
-
-
 def test_compute_deltas_constant_signal():
     x = jnp.ones((1, 12, 8))
     d = fe.compute_deltas(x)

@@ -41,10 +41,11 @@ def test_train_step_runs_and_learns(rng):
     tx = build_optimizer("ranger", 1e-3)
     learner = Learner(model, variables, tx, frontend=None)
     batch = feature_batch(rng)
-    losses = [learner.step(batch)["loss"] for _ in range(8)]
+    losses = [learner.step(batch)["loss"] for _ in range(20)]
     assert all(np.isfinite(l) for l in losses)
-    # same batch, 8 steps: loss must drop
-    assert losses[-1] < losses[0]
+    # same batch: trailing-average loss must drop (single-step compare is
+    # noisy under ranger's lookahead sync cadence)
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
 def test_train_step_with_device_frontend(rng):

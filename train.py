@@ -144,6 +144,12 @@ def main(argv=None):
         for epoch in range(epochs):
             batches = list(train_ds) if eval_every is None else train_ds
             if eval_every is None and hasattr(batches, "__len__"):
+                if not batches:
+                    raise SystemExit(
+                        "[train] the loader produced ZERO batches — check "
+                        "dataset paths, bucket ladder (max_samples/y_max), "
+                        "and that utterances survive the transform pipeline"
+                    )
                 eval_every = max(len(batches) // max(tests_per_epoch, 1), 1)
             for bi, batch in enumerate(batches):
                 metrics = learner.step(batch)
