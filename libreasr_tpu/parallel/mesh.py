@@ -82,7 +82,12 @@ def param_shardings(mesh: Mesh, tree):
 
 def place_state(mesh: Mesh, state):
     """Re-place a (restored) train-state pytree onto the mesh: wide
-    kernels TP-sharded, everything else replicated."""
+    kernels TP-sharded, everything else replicated. Multi-process safe
+    (every process must hold the same host values)."""
+    if jax.process_count() > 1:
+        from .distributed import replicate_tree
+
+        return replicate_tree(mesh, state)
     return jax.device_put(state, param_shardings(mesh, state))
 
 

@@ -362,10 +362,13 @@ class Learner:
         carry = self.carries.get(n)
         if carry is None:
             carry = init_carry(self.model.cfg, n)
-        if self.mesh is not None:
+        if self.mesh is not None and jax.process_count() == 1:
             from ..parallel.mesh import shard_batch
 
             batch = Batch(*shard_batch(self.mesh, tuple(batch)))
+        # multi-process: the caller assembles the global batch with
+        # parallel.distributed.global_batch (each process contributes
+        # its local rows) — re-placing here would be wrong
         self.state, carry, metrics = self._step_fn(
             self.state, carry, batch, self.next_rng()
         )

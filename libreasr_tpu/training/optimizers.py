@@ -268,10 +268,13 @@ def make_lr_schedule(conf_training: dict) -> optax.Schedule:
     lr = conf_training.get("lr", 5e-4)
     steps = conf_training.get("total_steps", 100_000)
     warmup = int(steps * conf_training.get("warmup_pct", 0.3))
+    warmup = max(warmup, 1)
     return optax.warmup_cosine_decay_schedule(
         init_value=lr / 25.0,
         peak_value=lr,
-        warmup_steps=max(warmup, 1),
-        decay_steps=steps,
+        warmup_steps=warmup,
+        # total steps; the cosine leg (decay - warmup) must be positive
+        # even for tiny --steps runs
+        decay_steps=max(steps, warmup + 1),
         end_value=lr / 100.0,
     )

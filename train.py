@@ -26,6 +26,14 @@ def main(argv=None):
     p.add_argument("--logdir", default="runs/libreasr")
     p.add_argument("--mesh-model", type=int, default=0, help="override TP axis size")
     p.add_argument("--eval-batches", type=int, default=16)
+    p.add_argument("--dist-coordinator", default="",
+                   help="host:port for multi-host training (every process "
+                        "runs this CLI with the same args + its --dist-pid)")
+    p.add_argument("--dist-procs", type=int, default=0)
+    p.add_argument("--dist-pid", type=int, default=0)
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. cpu) — env vars alone "
+                        "cannot override a pinned hardware plugin")
     args = p.parse_args(argv)
 
     import jax
@@ -33,6 +41,15 @@ def main(argv=None):
 
     from libreasr_tpu.utils import enable_compilation_cache
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dist_coordinator:
+        from libreasr_tpu.parallel import distributed as dist
+
+        dist.initialize(
+            args.dist_coordinator, num_processes=args.dist_procs,
+            process_id=args.dist_pid,
+        )
     enable_compilation_cache()
 
     from libreasr_tpu.api import ASRBundle
@@ -92,7 +109,9 @@ def main(argv=None):
     cfg = TransducerConfig.from_config(conf)
     model, variables = init_transducer(cfg, jax.random.PRNGKey(seed))
     if mesh is not None:
-        variables = jax.device_put(variables, param_shardings(mesh, variables))
+        from libreasr_tpu.parallel.mesh import place_state
+
+        variables = place_state(mesh, variables)  # multi-process safe
 
     tconf = conf.get("training", {})
     schedule = make_lr_schedule(
@@ -140,6 +159,24 @@ def main(argv=None):
     metrics = {"loss": float("nan")}
     t0 = time.time()
     eval_every = None  # persists across epochs (sized on the first one)
+
+    # multi-host: every process iterates the same deterministic loader
+    # and contributes its row slice of each global batch; in-training
+    # eval (single-program decode) runs on process 0's final pass only
+    multiproc = jax.process_count() > 1
+    rank0 = jax.process_index() == 0
+    if multiproc:
+        from libreasr_tpu.parallel import distributed as dist
+        from libreasr_tpu.training.learner import Batch as _Batch
+
+        def to_global(b):
+            rows = dist.process_row_slice(mesh, b.audio.shape[0])
+            local = _Batch(*(np.asarray(x)[rows] for x in b))
+            return _Batch(*dist.global_batch(mesh, tuple(local)))
+
+        print(f"[train] multi-host: {jax.process_count()} processes, "
+              f"mesh {dict(mesh.shape)}")
+
     try:
         for epoch in range(epochs):
             batches = list(train_ds) if eval_every is None else train_ds
@@ -152,23 +189,33 @@ def main(argv=None):
                     )
                 eval_every = max(len(batches) // max(tests_per_epoch, 1), 1)
             for bi, batch in enumerate(batches):
-                metrics = learner.step(batch)
+                metrics = learner.step(to_global(batch) if multiproc else batch)
                 step = int(learner.state.step)
-                logger.log_step(step, metrics, batch)
-                if eval_every and (bi + 1) % eval_every == 0:
+                if rank0:
+                    logger.log_step(step, metrics, batch)
+                if eval_every and (bi + 1) % eval_every == 0 and not multiproc:
                     _run_eval(bundle, learner, valid_ds, logger, step,
                               args.eval_batches, args.ckpt)
                 if args.steps and step >= args.steps:
                     raise StopIteration
-            print(
-                f"[train] epoch {epoch} done step={step} "
-                f"loss={float(metrics['loss']):.3f} ({time.time()-t0:.0f}s)"
-            )
+            if rank0:
+                print(
+                    f"[train] epoch {epoch} done step={step} "
+                    f"loss={float(metrics['loss']):.3f} ({time.time()-t0:.0f}s)"
+                )
             save_train_state(os.path.abspath(args.ckpt), learner.state)
     except (StopIteration, KeyboardInterrupt):
         pass
 
     save_train_state(os.path.abspath(args.ckpt), learner.state)
+    if multiproc:
+        # eval decode is a single-program path; report rank-0 loss and
+        # leave WER evaluation to a single-process run on the checkpoint
+        logger.close()
+        if rank0:
+            print(f"[train] done (multi-host): step={step} "
+                  f"loss={float(metrics['loss']):.3f}")
+        return
     result = _run_eval(bundle, learner, valid_ds, logger, step,
                        args.eval_batches, args.ckpt)
     if args.bundle_out:
