@@ -97,6 +97,18 @@ class ASRBundle:
 
     # ---- decoder endpoint bindings ----------------------------------------
 
+    def quantize(self) -> "ASRBundle":
+        """int8-quantize the RNN towers in place (serving memory /
+        bandwidth lever — the reference's dynamic int8 LSTM path,
+        utils.py:197-210). Every decode/stream program built from this
+        bundle afterwards runs the cells as dynamic int8 MXU matmuls;
+        combine with decoder_fns(quantized=True) for the int8 joint."""
+        from .ops.quant import quantize_rnn_cells
+
+        self.variables = quantize_rnn_cells(self.variables)
+        self._jit_cache.clear()  # engines/programs must rebind
+        return self
+
     def decoder_fns(
         self,
         use_lm: bool = True,

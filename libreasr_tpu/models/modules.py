@@ -65,9 +65,15 @@ class RNNLayer(nn.Module):
     @nn.compact
     def __call__(self, x, state=None, lengths=None, train: bool = False):
         scan_fn, init_fn, n_state = rnn_ops.CELLS[self.rnn_type]
-        cell_params = self.param(
-            "cell", lambda rng: init_fn(rng, self.input_sz, self.hidden_sz)
-        )
+        if self.has_variable("params", "cell"):
+            # raw fetch (no shape validation): serving may swap the cell
+            # matrices for int8 QuantizedTensor leaves (ops.quant), whose
+            # pytree structure differs from the f32 init template
+            cell_params = self.get_variable("params", "cell")
+        else:
+            cell_params = self.param(
+                "cell", lambda rng: init_fn(rng, self.input_sz, self.hidden_sz)
+            )
         h0 = self.param(
             "h0", nn.initializers.zeros, (n_state, 1, self.hidden_sz)
         )

@@ -80,6 +80,37 @@ def quantize_tree(params):
     )
 
 
+def quantize_rnn_cells(variables):
+    """int8-quantize the encoder/predictor RNN towers' weight mass: the
+    per-layer cell `kernel` and `recurrent_kernel` matrices become
+    QuantizedTensor leaves that ops.rnn._mm executes as dynamic int8 MXU
+    matmuls. Biases, h0, norms, Dense projections and the embedding stay
+    f32 (tiny next to the cells; Dense flows through nn.Dense which owns
+    its own dot). The reference quantizes the same set dynamically for
+    CPU serving (utils.py:197-210)."""
+    def f(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        in_cell = any(n == "cell" for n in names)
+        is_kernel = names and names[-1] in ("kernel", "recurrent_kernel")
+        if in_cell and is_kernel and getattr(leaf, "ndim", 0) == 2:
+            return quantize(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(
+        f, variables, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+    )
+
+
+def quantized_bytes(tree) -> tuple[int, int]:
+    """(bytes now, bytes if everything were f32) — HBM footprint report."""
+    now = full = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        n = leaf.size
+        full += n * 4
+        now += n * leaf.dtype.itemsize
+    return now, full
+
+
 def dequantize_tree(params):
     def f(leaf):
         if isinstance(leaf, QuantizedTensor):

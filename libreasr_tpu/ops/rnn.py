@@ -94,7 +94,17 @@ def init_layernorm_lstm(rng, input_sz: int, hidden_sz: int, forget_bias: float =
 
 
 def _mm(a, b, compute_dtype):
-    """Matmul with optional low-precision inputs and f32 accumulation."""
+    """Matmul with optional low-precision inputs and f32 accumulation.
+
+    An int8-quantized weight (ops.quant.QuantizedTensor) runs as a
+    dynamic int8 x int8 MXU matmul (torch dynamic-quantization numerics,
+    the reference's LSTM serving path — utils.py:197-210): weights are
+    read from HBM as int8 (4x less bandwidth than f32), activations
+    quantize per row on the fly, accumulation is int32."""
+    from .quant import QuantizedTensor, int8_matmul
+
+    if isinstance(b, QuantizedTensor):
+        return int8_matmul(a, b)
     if compute_dtype is not None:
         a = a.astype(compute_dtype)
         b = b.astype(compute_dtype)

@@ -276,3 +276,34 @@ def test_greedy_lm_fusion_exact(golden, tmp_path):
         audio, np.full(8, 16000), use_lm=True
     )
     assert texts == TEXTS
+
+
+def test_int8_towers_golden_exact(golden):
+    """Weight-only/dynamic int8 RNN towers (ASRBundle.quantize) keep the
+    trained golden set exact through batch greedy AND the streaming
+    engine, and shrink the parameter bytes."""
+    import copy
+
+    from libreasr_tpu.api import ASRBundle
+    from libreasr_tpu.models.streaming import StreamingEngine
+    from libreasr_tpu.ops.quant import quantized_bytes
+
+    bundle, audio = golden
+    qb = ASRBundle(
+        bundle.conf, bundle.model, copy.deepcopy(bundle.variables),
+        bundle.lang, bundle.lm, bundle.lm_variables,
+    ).quantize()
+    now, as_f32 = quantized_bytes(qb.variables["params"])
+    assert now < 0.65 * as_f32  # cells dominate -> big shrink
+
+    texts, _ = qb.transcribe_batch(audio, np.full(8, 16000))
+    assert texts == TEXTS
+
+    eng = StreamingEngine(qb, n_streams=8)
+    slots = [eng.open_slot() for _ in range(8)]
+    for off in range(0, 16000, 1280):
+        for i, s in enumerate(slots):
+            eng.feed(s, audio[i, off : off + 1280])
+    for i, s in enumerate(slots):
+        eng.feed(s, np.zeros(1280, np.float32))
+    assert [eng.transcript(s) for s in slots] == TEXTS
