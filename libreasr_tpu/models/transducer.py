@@ -40,6 +40,8 @@ class TransducerConfig:
     enc_layer_norm: bool = False
     enc_reduction_indices: tuple = ()
     enc_reduction_factors: tuple = ()
+    # fused Pallas LSTM for eval-mode encode on TPU (ops/pallas/lstm.py)
+    enc_use_pallas: bool = True
     pred_num_layers: int = 2
     pred_dropout: float = 0.05
     pred_rnn_type: str = "NBRC"
@@ -73,6 +75,7 @@ class TransducerConfig:
             enc_layer_norm=enc.get("layer_norm", False),
             enc_reduction_indices=tuple(enc.get("reduction_indices", ())),
             enc_reduction_factors=tuple(enc.get("reduction_factors", ())),
+            enc_use_pallas=enc.get("use_pallas", True),
             pred_num_layers=pred["num_layers"],
             pred_dropout=pred["dropout"],
             pred_rnn_type=pred["rnn_type"],
@@ -108,6 +111,7 @@ class Transducer(nn.Module):
             reduction_indices=c.enc_reduction_indices,
             reduction_factors=c.enc_reduction_factors,
             compute_dtype=c.compute_dtype,
+            use_pallas=c.enc_use_pallas,
         )
         self.predictor = Predictor(
             vocab_sz=c.vocab_sz,

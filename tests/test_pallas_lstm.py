@@ -6,7 +6,11 @@ import jax
 import jax.numpy as jnp
 
 from libreasr_tpu.ops import rnn as rnn_ops
-from libreasr_tpu.ops.pallas.lstm import lstm_forward_pallas, lstm_seq_pallas
+from libreasr_tpu.ops.pallas.lstm import (
+    lstm_forward_pallas,
+    lstm_pack_pallas,
+    lstm_seq_pallas,
+)
 
 
 def test_pallas_matches_scan(rng):
@@ -24,6 +28,54 @@ def test_pallas_matches_scan(rng):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(hf), np.asarray(hf_ref), rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(cf), np.asarray(cf_ref), rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_batch_blocking(rng):
+    """Batches wider than one VMEM block tile into extra grid rows —
+    results must be identical to the single-block layout."""
+    from libreasr_tpu.ops.pallas import lstm as pallas_lstm
+
+    n, t, i, h = 10, 6, 8, 8
+    params = rnn_ops.init_lstm(jax.random.PRNGKey(2), i, h)
+    x = jnp.asarray(rng.standard_normal((n, t, i)).astype(np.float32))
+    h0 = jnp.zeros((n, h))
+    c0 = jnp.zeros((n, h))
+    y_ref, (hf_ref, cf_ref) = lstm_forward_pallas(
+        x, (h0, c0), params, interpret=True
+    )
+    old = pallas_lstm._MAX_BLOCK_N
+    try:
+        pallas_lstm._MAX_BLOCK_N = 4  # 10 -> 3 blocks of 4 (2 padded rows)
+        y, (hf, cf) = lstm_forward_pallas(x, (h0, c0), params, interpret=True)
+    finally:
+        pallas_lstm._MAX_BLOCK_N = old
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hf_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cf_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_pack_lengths(rng):
+    """lstm_pack_pallas must reproduce the scan cell's pack semantics
+    exactly: zero outputs past lengths, state frozen at lengths."""
+    n, t, i, h = 4, 12, 16, 8
+    params = rnn_ops.init_lstm(jax.random.PRNGKey(3), i, h)
+    x = jnp.asarray(rng.standard_normal((n, t, i)).astype(np.float32))
+    h0 = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([12, 7, 1, 0])
+
+    y_ref, (hf_ref, cf_ref) = rnn_ops.lstm_scan(
+        x, (h0, c0), params, lengths=lengths
+    )
+    y, (hf, cf) = lstm_pack_pallas(
+        x, (h0, c0), params, lengths, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hf_ref), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cf_ref), rtol=2e-2, atol=2e-2)
+    # masked region is exactly zero, like the scan path
+    mask = np.arange(t)[None, :] >= np.asarray(lengths)[:, None]
+    assert (np.asarray(y)[mask] == 0).all()
 
 
 def test_pallas_single_step(rng):
