@@ -67,7 +67,13 @@ class RNNLayer(nn.Module):
             return False
         if self.zoneout != 0.0 or x.shape[1] < 16:
             return False
-        if jax.default_backend() != "tpu":
+        # LIBREASR_FORCE_PALLAS=1 engages the kernel in interpret mode on
+        # CPU so tests cover this branch without TPU hardware
+        import os
+
+        if jax.default_backend() != "tpu" and not (
+            os.environ.get("LIBREASR_FORCE_PALLAS") == "1"
+        ):
             return False
         from ..ops.quant import QuantizedTensor
 
@@ -109,7 +115,10 @@ class RNNLayer(nn.Module):
         if self._pallas_eligible(cell_params, x, train):
             from ..ops.pallas.lstm import lstm_pack_pallas
 
-            return lstm_pack_pallas(x, tuple(state), cell_params, lengths)
+            return lstm_pack_pallas(
+                x, tuple(state), cell_params, lengths,
+                interpret=jax.default_backend() != "tpu",
+            )
         y, new_state = scan_fn(
             x,
             tuple(state),

@@ -78,6 +78,35 @@ def test_pallas_pack_lengths(rng):
     assert (np.asarray(y)[mask] == 0).all()
 
 
+def test_encoder_integration_forced(rng, monkeypatch):
+    """The RNNLayer fast-path branch (models/modules.py), forced on CPU
+    via LIBREASR_FORCE_PALLAS (interpret mode): encoder outputs and
+    state must match the scan path within bf16-R tolerance."""
+    from libreasr_tpu.models.modules import Encoder
+
+    monkeypatch.setenv("LIBREASR_FORCE_PALLAS", "1")
+    n, t, f, h = 2, 20, 12, 8
+    x = jnp.asarray(rng.standard_normal((n, t, f)).astype(np.float32))
+    lengths = jnp.asarray([20, 11])
+
+    def run(use_pallas):
+        enc = Encoder(
+            feature_sz=f, hidden_sz=h, out_sz=h, num_layers=2,
+            dropout=0.0, rnn_type="LSTM", use_pallas=use_pallas,
+        )
+        vars_ = enc.init(jax.random.PRNGKey(0), x, lengths=lengths)
+        return enc.apply(vars_, x, lengths=lengths, train=False)
+
+    y_p, st_p = run(True)
+    y_s, st_s = run(False)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
+                               rtol=2e-2, atol=2e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(st_p),
+                    jax.tree_util.tree_leaves(st_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_pallas_single_step(rng):
     n, i, h = 2, 8, 8
     params = rnn_ops.init_lstm(jax.random.PRNGKey(1), i, h)
