@@ -129,6 +129,66 @@ def calibrate_blank_bias(bundle, target_rate: float, n: int = 16):
     return best
 
 
+def device_step_time(bundle, n_streams: int, n_buffer: int = 1, k: int = 8) -> float:
+    """Pure device time per engine step, excluding the host/tunnel
+    round-trip: K steps chained inside one jit program (state carried
+    through lax.scan), timed against a single step, (T_k - T_1)/(k-1).
+    The tunneled chip adds ~25 ms per dispatch that on-host serving
+    would not pay; this isolates it."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from libreasr_tpu.models.streaming import StreamingConfig, StreamingEngine
+
+    scfg = StreamingConfig(sr=bundle.frontend.sr, n_buffer=n_buffer)
+    eng = StreamingEngine(bundle, n_streams=n_streams, scfg=scfg)
+    eng._ensure_state()
+    raw = eng._build_step()
+
+    def chain(steps: int):
+        @jax.jit
+        def run(variables, state, chunks, valid, reset, fresh):
+            def body(st, _):
+                st2, _ = raw(variables, st, chunks, valid, reset, fresh)
+                return st2, ()
+
+            st, _ = jax.lax.scan(body, state, None, length=steps)
+            # the returned scalar must consume EVERY state leaf or XLA
+            # dead-code-eliminates the model from the chained steps
+            return sum(
+                jnp.sum(leaf).astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(st)
+            )
+
+        return run
+
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(
+        rng.standard_normal(
+            (n_streams, scfg.n_buffer, scfg.chunk_samples)
+        ).astype(np.float32)
+        * 0.1
+    )
+    valid = jnp.ones(n_streams, bool)
+    reset = jnp.zeros(n_streams, bool)
+    args = (eng.bundle.variables, eng.state, chunks, valid, reset,
+            eng._fresh_dec)
+    run1, runk = chain(1), chain(k)
+    float(run1(*args))
+    float(runk(*args))
+    deltas = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run1(*args))
+        t1 = time.perf_counter()
+        float(runk(*args))
+        t2 = time.perf_counter()
+        deltas.append(((t2 - t1) - (t1 - t0)) / (k - 1))
+    return float(np.median(deltas))
+
+
 def time_engine(bundle, n_streams: int, iters: int = 20, n_buffer: int = 1) -> float:
     """Median wall seconds per batched stream step (n_buffer 80 ms chunks)."""
     from libreasr_tpu.models.streaming import StreamingConfig, StreamingEngine
@@ -194,6 +254,20 @@ def main():
             best = max(best, sustained)
             if t > budget * 4:  # far past real time, stop sweeping
                 break
+
+    # diagnostic: device-only step time at a representative config — the
+    # gap to the wall-clock sweep above is the host/tunnel round-trip
+    # that on-host deployments do not pay
+    try:
+        if platform != "cpu":
+            dt = device_step_time(bundle, 256, n_buffer=1)
+            print(
+                f"# device-only step @ n=256 nb=1: {dt*1000:.1f} ms "
+                f"(on-host projection: {256 * chunk_s / dt:.0f} streams)",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001 - diagnostic only
+        print(f"# device-only timing unavailable: {e}", file=sys.stderr)
 
     print(
         json.dumps(
