@@ -75,11 +75,9 @@ class RNNLayer(nn.Module):
             os.environ.get("LIBREASR_FORCE_PALLAS") == "1"
         ):
             return False
-        from ..ops.quant import QuantizedTensor
-
-        return not isinstance(cell_params.kernel, QuantizedTensor) and not (
-            isinstance(cell_params.recurrent_kernel, QuantizedTensor)
-        )
+        # int8-quantized cells dispatch to the int8 kernel variant
+        # inside lstm_pack_pallas — eligible too
+        return True
 
     def initial_state(self, params_scope_unused, batch: int):
         """Expand the learnable h0 to a batch (called via .apply)."""

@@ -239,6 +239,98 @@ def _lstm_seq_pallas_cseq(wx, r, h0, c0, *, interpret: bool = False):
     return jnp.moveaxis(y, 0, 1)[:n], jnp.moveaxis(yc, 0, 1)[:n]
 
 
+def _lstm_step_kernel_int8(wx_ref, rq_ref, rs_ref, h0_ref, c0_ref,
+                           y_ref, yc_ref, h_s, c_s):
+    """int8 recurrent matmul variant: R lives in VMEM as int8 (half the
+    bf16 residency), h quantizes per row each step, the MXU accumulates
+    int8 x int8 -> int32 — the same dynamic-quantization numerics as
+    ops.quant.int8_matmul (the serving towers' scan path)."""
+    t = pl.program_id(1)
+    h = h0_ref.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    hrow = h_s[:]
+    amax = jnp.max(jnp.abs(hrow), axis=-1, keepdims=True)
+    hscale = jnp.maximum(amax / 127.0, 1e-12)
+    hq = jnp.clip(jnp.round(hrow / hscale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        hq, rq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    v = acc * hscale * rs_ref[:] + wx_ref[0]
+    i = jax.nn.sigmoid(v[:, :h])
+    g = jnp.tanh(v[:, h : 2 * h])
+    f = jax.nn.sigmoid(v[:, 2 * h : 3 * h])
+    o = jax.nn.sigmoid(v[:, 3 * h :])
+    c_new = f * c_s[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_s[:] = h_new
+    c_s[:] = c_new
+    y_ref[0] = h_new
+    yc_ref[0] = c_new
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lstm_seq_pallas_int8(wx, rq, rscale, h0, c0, *, interpret: bool = False):
+    """Fused sequence kernel over an int8-quantized recurrent matrix.
+    rq: int8 [H, 4H]; rscale: f32 [1, 4H]. Returns (y, yc) like the
+    cseq variant (both h and c streamed for pack-semantics gathers)."""
+    n, t, g4 = wx.shape
+    h = g4 // 4
+    bn = min(n, _MAX_BLOCK_N)
+    pad = (-n) % bn
+    if pad:
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+        c0 = jnp.pad(c0, ((0, pad), (0, 0)))
+    nb = (n + pad) // bn
+    wx_t = jnp.moveaxis(wx, 1, 0).astype(jnp.float32)
+
+    y, yc = pl.pallas_call(
+        _lstm_step_kernel_int8,
+        grid=(nb, t),
+        in_specs=[
+            pl.BlockSpec((1, bn, g4), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g4), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bn, h), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, n + pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, n + pad, h), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bn, h), jnp.float32),
+            pltpu.VMEM((bn, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        wx_t,
+        rq,
+        rscale.reshape(1, g4).astype(jnp.float32),
+        h0.astype(jnp.float32),
+        c0.astype(jnp.float32),
+    )
+    return jnp.moveaxis(y, 0, 1)[:n], jnp.moveaxis(yc, 0, 1)[:n]
+
+
 def lstm_pack_pallas(x, state, params, lengths=None, *, interpret: bool = False):
     """Inference fast path with torch pack_padded semantics, matching
     ops.rnn.lstm_scan(length_mode="pack") exactly: outputs zeroed past
@@ -248,17 +340,37 @@ def lstm_pack_pallas(x, state, params, lengths=None, *, interpret: bool = False)
     kernel rolls through the padding (cheap — padding is a small tail)
     and the exact frozen state is gathered from the streamed h/c
     sequences afterwards.
+
+    int8-quantized cells (ops.quant.QuantizedTensor leaves) dispatch to
+    the int8 kernel: R resident in VMEM as int8, dynamic per-row
+    activation quantization on the MXU — the same numerics as the scan
+    towers' int8_matmul serving path.
     """
-    if lengths is None:
+    from ..quant import QuantizedTensor, int8_matmul
+
+    quantized = isinstance(params.recurrent_kernel, QuantizedTensor)
+    if lengths is None and not quantized:
         return lstm_forward_pallas(x, state, params, interpret=interpret)
     h0, c0 = state
-    wx = (
-        jnp.dot(x, params.kernel, preferred_element_type=jnp.float32)
-        + params.bias
-    )
-    y, yc = _lstm_seq_pallas_cseq(
-        wx, params.recurrent_kernel, h0, c0, interpret=interpret
-    )
+    if isinstance(params.kernel, QuantizedTensor):
+        wx = int8_matmul(x, params.kernel) + params.bias
+    else:
+        wx = (
+            jnp.dot(x, params.kernel, preferred_element_type=jnp.float32)
+            + params.bias
+        )
+    if quantized:
+        y, yc = _lstm_seq_pallas_int8(
+            wx, params.recurrent_kernel.q, params.recurrent_kernel.scale,
+            h0, c0, interpret=interpret,
+        )
+    else:
+        y, yc = _lstm_seq_pallas_cseq(
+            wx, params.recurrent_kernel, h0, c0, interpret=interpret
+        )
+    if lengths is None:
+        t_last = x.shape[1] - 1
+        return y, (y[:, t_last], yc[:, t_last])
     t = x.shape[1]
     t_ids = jnp.arange(t)[None, :]
     valid = t_ids < lengths[:, None]                        # [N, T]

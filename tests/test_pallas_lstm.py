@@ -107,6 +107,60 @@ def test_encoder_integration_forced(rng, monkeypatch):
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_pallas_int8_matches_scan_int8(rng):
+    """The int8 kernel variant must match the scan cell running the
+    int8 dynamic matmuls (ops.quant) — same quantization numerics, so
+    the tolerance is much tighter than bf16."""
+    from libreasr_tpu.ops.quant import quantize
+
+    n, t, i, h = 3, 10, 16, 8
+    params = rnn_ops.init_lstm(jax.random.PRNGKey(4), i, h)
+    qparams = rnn_ops.LSTMParams(
+        kernel=quantize(params.kernel),
+        recurrent_kernel=quantize(params.recurrent_kernel),
+        bias=params.bias,
+    )
+    x = jnp.asarray(rng.standard_normal((n, t, i)).astype(np.float32))
+    h0 = jnp.zeros((n, h))
+    c0 = jnp.zeros((n, h))
+    lengths = jnp.asarray([10, 6, 2])
+
+    y_ref, (hf_ref, cf_ref) = rnn_ops.lstm_scan(
+        x, (h0, c0), qparams, lengths=lengths
+    )
+    y, (hf, cf) = lstm_pack_pallas(
+        x, (h0, c0), qparams, lengths, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hf_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cf_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_int8_no_lengths(rng):
+    from libreasr_tpu.ops.quant import quantize
+
+    n, t, i, h = 2, 8, 8, 8
+    params = rnn_ops.init_lstm(jax.random.PRNGKey(5), i, h)
+    qparams = rnn_ops.LSTMParams(
+        kernel=params.kernel,  # mixed: only R quantized
+        recurrent_kernel=quantize(params.recurrent_kernel),
+        bias=params.bias,
+    )
+    x = jnp.asarray(rng.standard_normal((n, t, i)).astype(np.float32))
+    st = (jnp.zeros((n, h)), jnp.zeros((n, h)))
+    y_ref, (hf_ref, cf_ref) = rnn_ops.lstm_scan(x, st, qparams)
+    y, (hf, cf) = lstm_pack_pallas(x, st, qparams, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hf), np.asarray(hf_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cf_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_single_step(rng):
     n, i, h = 2, 8, 8
     params = rnn_ops.init_lstm(jax.random.PRNGKey(1), i, h)
