@@ -84,6 +84,13 @@ class ASRBundle:
         )
         cfg = TransducerConfig.from_config(conf)
         model, template = init_transducer(cfg, jax.random.PRNGKey(0))
+        if conf.get("quantized_cells"):
+            # bundle was exported with int8 towers (ASRBundle.save after
+            # quantize()): the template's pytree structure must match the
+            # QuantizedTensor leaves before deserialization
+            from .ops.quant import quantize_rnn_cells
+
+            template = quantize_rnn_cells(template)
         variables, tok, lm_bytes, _ = load_bundle(
             path, lang_name, template, extract_to=extract_to
         )
@@ -106,8 +113,26 @@ class ASRBundle:
         from .ops.quant import quantize_rnn_cells
 
         self.variables = quantize_rnn_cells(self.variables)
+        self.conf["quantized_cells"] = True  # save() round-trips this
         self._jit_cache.clear()  # engines/programs must rebind
         return self
+
+    def save(self, path: str, *, lang_name: str = "en",
+             tokenizer_file: str | None = None) -> str:
+        """Export this bundle as a release tar.gz (the reference ships
+        quantized release models the same way, model_utils.py:30-58).
+        Quantized towers round-trip: `conf["quantized_cells"]` marks the
+        bundle and from_bundle rebuilds the int8 pytree template."""
+        from .training.checkpoint import save_bundle
+
+        tok = tokenizer_file
+        if tok is None and getattr(self.lang, "model_file", None):
+            tok = self.lang.model_file
+        save_bundle(
+            path, lang_name, self.variables, self.conf,
+            tokenizer_file=tok, lm_variables=self.lm_variables,
+        )
+        return path
 
     def decoder_fns(
         self,

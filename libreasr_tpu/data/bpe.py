@@ -173,6 +173,7 @@ class BPELanguage:
     def __init__(self, model_file: str):
         if not os.path.exists(model_file):
             raise FileNotFoundError(model_file)
+        self.model_file = model_file  # bundles re-export the tokenizer
         self._lib = bpe_lib()
         if self._lib is not None:
             _configure(self._lib)

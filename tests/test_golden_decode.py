@@ -79,6 +79,35 @@ def test_streaming_engine_exact(golden):
     assert got == TEXTS
 
 
+def test_quantized_bundle_roundtrip(golden, tmp_path):
+    """quantize() -> save() -> from_bundle() keeps the int8 towers
+    (structure + bytes) and the exact transcripts — the reference ships
+    its release models quantized the same way (model_utils.py:30-58)."""
+    import jax
+
+    from libreasr_tpu.ops.quant import QuantizedTensor
+
+    bundle, audio = golden
+    q = ASRBundle.from_bundle(
+        os.path.join(FIXTURES, "model.tar.gz"),
+        extract_to=str(tmp_path / "src"),
+    ).quantize()
+    out = str(tmp_path / "quantized.tar.gz")
+    q.save(out)
+
+    re = ASRBundle.from_bundle(out, extract_to=str(tmp_path / "re"))
+    assert re.conf.get("quantized_cells") is True
+    leaves = jax.tree_util.tree_leaves(
+        re.variables,
+        is_leaf=lambda x: isinstance(x, QuantizedTensor),
+    )
+    n_q = sum(isinstance(leaf, QuantizedTensor) for leaf in leaves)
+    # every RNN layer contributes (kernel, recurrent_kernel)
+    assert n_q >= 4
+    texts, _ = re.transcribe_batch(audio, np.full(8, 16000))
+    assert texts == TEXTS
+
+
 def test_grpc_wire_exact(golden):
     """Exact transcripts through the real gRPC wire: unary Transcribe
     AND streaming TranscribeStream against the trained golden bundle."""

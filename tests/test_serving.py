@@ -138,6 +138,50 @@ def test_grpc_e2e_demo_flac(live_server):
     assert stream_text.endswith("hello world")
 
 
+def test_grpc_server_on_mesh(bundle, golden_audio):
+    """Serving scale-out: the gRPC server's batched engine sharded over
+    an 8-device mesh (streams spread across chips via the "data" axis)
+    must still deliver the exact golden transcript over the wire. The
+    reference scales serving only by adding CPU processes
+    (Makefile:65-68); here one engine spans the mesh."""
+    import socket
+
+    import grpc
+
+    from libreasr_tpu.models.streaming import StreamingEngine
+    from libreasr_tpu.parallel.mesh import make_mesh
+    from libreasr_tpu.serving.server import make_server
+
+    mesh = make_mesh(data=8, model=1)
+    engine = StreamingEngine(bundle, n_streams=8, mesh=mesh)
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    server, _ = make_server(bundle, port, engine=engine)
+    server.start()
+    try:
+        channel = grpc.insecure_channel(f"localhost:{port}")
+        stream = channel.stream_stream(
+            proto.METHOD_TRANSCRIBE_STREAM,
+            request_serializer=proto.Audio.SerializeToString,
+            response_deserializer=proto.Transcript.FromString,
+        )
+
+        def gen():
+            audio = np.asarray(golden_audio, np.float32)
+            for off in range(0, len(audio), 1280):
+                yield proto.Audio(data=audio[off : off + 1280].tobytes(),
+                                  sr=16000)
+            yield proto.Audio(data=np.zeros(1280, np.float32).tobytes(),
+                              sr=16000)
+
+        text = "".join(t.data for t in stream(gen()))
+        channel.close()
+        assert text == "hello world"
+    finally:
+        server.stop(0)
+
+
 def test_grpc_concurrent_streams(live_server, rng):
     """Two concurrent streaming calls share the batched engine."""
     import grpc
