@@ -37,12 +37,16 @@ class TrainLogger:
         self._ema_loss = None
 
     def log_step(self, step: int, metrics: dict[str, Any], batch=None):
-        loss = float(metrics["loss"])
-        self._ema_loss = (
-            loss if self._ema_loss is None else 0.98 * self._ema_loss + 0.02 * loss
-        )
+        # materialize device metrics only at logging cadence — a float()
+        # every step would synchronize with the device per step
         if step % self.every != 0 or self.writer is None:
             return
+        loss = float(metrics["loss"])
+        # EMA over sampled (logged) losses; alpha chosen for the
+        # sampling cadence rather than per-step
+        self._ema_loss = (
+            loss if self._ema_loss is None else 0.9 * self._ema_loss + 0.1 * loss
+        )
         w = self.writer
         w.add_scalar("train/loss", loss, step)
         w.add_scalar("train/smooth_loss", self._ema_loss, step)

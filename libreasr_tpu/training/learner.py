@@ -373,4 +373,8 @@ class Learner:
             self.state, carry, batch, self.next_rng()
         )
         self.carries[n] = carry
-        return {k: np.asarray(v) for k, v in metrics.items()}
+        # metrics stay device-resident: materializing them here would
+        # block on the device every step (on a tunneled chip that is
+        # ~85% of wall-clock; see docs/performance.md). Callers float()
+        # them at their own logging cadence.
+        return metrics

@@ -190,7 +190,9 @@ def main(argv=None):
                 eval_every = max(len(batches) // max(tests_per_epoch, 1), 1)
             for bi, batch in enumerate(batches):
                 metrics = learner.step(to_global(batch) if multiproc else batch)
-                step = int(learner.state.step)
+                # host-side step counter: int(learner.state.step) would
+                # synchronize with the device every step
+                step = step + 1
                 if rank0:
                     logger.log_step(step, metrics, batch)
                 if eval_every and (bi + 1) % eval_every == 0 and not multiproc:
@@ -256,7 +258,7 @@ def _train_ctc(args, conf, lang, train_ds, valid_ds, mesh, seed):
     for epoch in range(tconf.get("epochs", 20)):
         for batch in train_ds:
             m = learner.step(batch)
-            step = int(learner.state.step)
+            step += 1  # host counter: avoid per-step device sync
             if args.steps and step >= args.steps:
                 break
         res = learner.evaluate(iter(valid_ds), lang, max_batches=args.eval_batches)
