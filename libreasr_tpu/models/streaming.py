@@ -199,6 +199,9 @@ class StreamingEngine:
         self.active = np.zeros(self.n, bool)
         self._flushed = np.zeros(self.n, bool)  # beam tail already committed
         self._pending_reset_arr = np.zeros(self.n, bool)
+        # bumped when a slot resets/reopens; pipelined collects of steps
+        # dispatched before the bump skip the slot (stale outputs)
+        self._reset_epoch = np.zeros(self.n, np.int64)
         # latched once a stream emits EOS: suppress post-terminal tokens
         # until the next reset (silence auto-reset or reopen)
         self._eos_done = np.zeros(self.n, bool)
@@ -384,12 +387,9 @@ class StreamingEngine:
                     *shard_batch(self.mesh, tuple(self._fresh_dec))
                 )
 
-    def step_batch(self, chunks: np.ndarray, valid=None, reset=None):
-        """Advance all streams. chunks: [N, n_buffer, chunk_samples].
-
-        Returns (tokens [N, K], token_lengths [N]) — this step's
-        emissions per stream.
-        """
+    def _step_device(self, chunks, valid=None, reset=None):
+        """Launch one device step; returns DEVICE arrays (no host sync).
+        chunks: [N, n_buffer, chunk_samples]."""
         self._ensure_state()
         n = self.n
         valid = np.ones(n, bool) if valid is None else valid
@@ -411,6 +411,15 @@ class StreamingEngine:
             reset,
             self._fresh_dec,
         )
+        return toks, lens
+
+    def step_batch(self, chunks: np.ndarray, valid=None, reset=None):
+        """Advance all streams. chunks: [N, n_buffer, chunk_samples].
+
+        Returns (tokens [N, K], token_lengths [N]) — this step's
+        emissions per stream.
+        """
+        toks, lens = self._step_device(chunks, valid, reset)
         return np.asarray(toks), np.asarray(lens)
 
     # ---- serving-facing slot API ---------------------------------------
@@ -426,6 +435,7 @@ class StreamingEngine:
                 self._eos_done[i] = False
                 self._flushed[i] = False
                 self._pending_reset[i] = True
+                self._reset_epoch[i] += 1  # invalidate in-flight collects
                 return i
         raise RuntimeError("no free stream slots")
 
@@ -479,16 +489,19 @@ class StreamingEngine:
             if self.active[i] and len(self.sample_buf[i]) >= need
         ]
 
-    def step_ready(self) -> bool:
-        """Run ONE device step over every slot with a full buffered chunk;
-        distribute each stepped slot's new text into its outbox. Returns
-        whether a step ran. This is the serving hot path: all arrivals
-        since the last step share the step (coalescing)."""
+    def step_dispatch(self):
+        """Phase 1 of a coalesced step: consume every full buffered
+        chunk and launch the device step WITHOUT reading its outputs.
+        Returns an opaque pending record (or None if nothing is ready).
+        The caller may dispatch the next step before collecting — JAX's
+        async dispatch then overlaps this step's output transfer with
+        the next step's compute (the serving stepper does exactly that;
+        on a tunneled chip the transfer is ~99% of step wall time)."""
         scfg = self.scfg
         c, need = scfg.chunk_samples, self.samples_per_step
         ready = self.ready_slots()
         if not ready:
-            return False
+            return None
         chunks = np.zeros((self.n, scfg.n_buffer, c), np.float32)
         valid = np.zeros(self.n, bool)
         for i in ready:
@@ -496,11 +509,24 @@ class StreamingEngine:
             self.sample_buf[i] = self.sample_buf[i][need:]
             valid[i] = True
         reset = self._pending_reset & valid
-        toks, lens = self.step_batch(chunks, valid, reset)
-        self._eos_done[np.asarray(reset)] = False
+        toks, lens = self._step_device(chunks, valid, reset)
+        self._eos_done[reset] = False
+        # a reset invalidates any step dispatched before it: collect
+        # skips slots whose epoch advanced past the dispatch-time value
+        self._reset_epoch[reset] += 1
         self._pending_reset_arr[valid] = False
+        return (toks, lens, valid, self._reset_epoch.copy())
+
+    def step_collect(self, pending) -> None:
+        """Phase 2: materialize a dispatched step's outputs and
+        distribute each stepped slot's new text into its outbox."""
+        dtoks, dlens, valid, epochs = pending
+        toks, lens = np.asarray(dtoks), np.asarray(dlens)
+        scfg = self.scfg
         eos = getattr(self.bundle.lang, "eos", None)
         for i in np.nonzero(valid)[0]:
+            if epochs[i] != self._reset_epoch[i]:
+                continue  # slot was reset/reopened after this dispatch
             ids = list(toks[i, : lens[i]])
             # once EOS latched, everything further is post-terminal
             # drift until the stream resets
@@ -523,6 +549,17 @@ class StreamingEngine:
                 if self.silence_ms[i] >= scfg.reset_thresh_ms:
                     self._pending_reset_arr[i] = True
                     self.silence_ms[i] = 0
+
+    def step_ready(self) -> bool:
+        """Run ONE device step over every slot with a full buffered chunk;
+        distribute each stepped slot's new text into its outbox. Returns
+        whether a step ran. This is the serving hot path: all arrivals
+        since the last step share the step (coalescing). Synchronous
+        (dispatch + collect); the serving stepper pipelines the two."""
+        pending = self.step_dispatch()
+        if pending is None:
+            return False
+        self.step_collect(pending)
         return True
 
     def drain(self, slot: int) -> str:

@@ -131,13 +131,30 @@ class BatchStepper:
 
     def _run(self):
         eng = self.engine
+        pending = None  # depth-1 step pipeline (see StreamingEngine.step_dispatch)
+        # dispatch pacing: without it the loop self-paces at the (fast,
+        # async) dispatch rate, each step coalescing only the arrivals
+        # of a few ms — many small steps that each still pay full-batch
+        # device work + output transfer. Half a chunk interval keeps
+        # worst-case added latency well under the chunk cadence while
+        # letting ~half the active streams share every step.
+        coalesce_s = eng.scfg.chunk_ms * eng.scfg.n_buffer / 2000.0
+        next_dispatch = 0.0
         while True:
             with self.cv:
-                self.cv.wait_for(lambda: self._staging or self._stop, 0.25)
+                timeout = 0.25
+                if pending is not None:
+                    # wake by the pacing deadline to collect/dispatch
+                    timeout = max(
+                        0.001, next_dispatch - time.perf_counter()
+                    )
+                self.cv.wait_for(
+                    lambda: self._staging or self._stop, min(timeout, 0.25)
+                )
                 if self._stop:
                     return
                 staging, self._staging = self._staging, []
-            if not staging:
+            if not staging and pending is None:
                 continue
             # current-generation items only (per-slot order is preserved:
             # a connection's pcm precedes its finish precedes its close)
@@ -145,10 +162,28 @@ class BatchStepper:
             for kind, slot, _, pcm in live:
                 if kind == "pcm":
                     eng.append_samples(slot, pcm)
+            has_finish = any(it[0] in ("finish", "close") for it in live)
             t0 = time.perf_counter()
             stepped = False
-            while eng.step_ready():
-                stepped = True
+            if has_finish or t0 >= next_dispatch:
+                # pipelined stepping: dispatch step k+1 before collecting
+                # step k, so k's output transfer (the dominant cost
+                # through a dispatch tunnel) overlaps k+1's device compute
+                while (p := eng.step_dispatch()) is not None:
+                    stepped = True
+                    if pending is not None:
+                        eng.step_collect(pending)
+                    pending = p
+                if stepped:
+                    next_dispatch = time.perf_counter() + coalesce_s
+            if pending is not None and (
+                has_finish
+                or (not stepped and time.perf_counter() >= next_dispatch)
+            ):
+                # collect before finish/close (ordering), or once the
+                # pacing window passed with nothing new to overlap
+                eng.step_collect(pending)
+                pending = None
             finished_now = []
             for kind, slot, _, _ in live:
                 if kind == "finish":

@@ -40,13 +40,14 @@ sys.path.insert(0, REPO)
 
 def run_server(port: int, n_streams: int, n_buffer: int, beam: int,
                blank_bias: float):
-    from bench import build_bundle
+    from bench import build_bundle, set_blank_bias
     from libreasr_tpu.models.streaming import StreamingConfig, StreamingEngine
     from libreasr_tpu.serving.server import make_server
     from libreasr_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    bundle = build_bundle(blank_bias)
+    bundle = build_bundle()
+    set_blank_bias(bundle, blank_bias)
     scfg = StreamingConfig(
         sr=bundle.frontend.sr, n_buffer=n_buffer, beam_width=beam
     )

@@ -32,16 +32,17 @@ def test_silence_triggers_reset(bundle, rng, monkeypatch):
 
     # silence (zeros) yields no tokens with an untrained-but-quiet input?
     # not guaranteed with random weights — force the no-emission path by
-    # monkeypatching step_batch results
+    # monkeypatching the device-step results (the dispatch/collect path
+    # used by feed()/step_ready and the serving stepper)
     calls = {"resets": []}
-    orig = eng.step_batch
+    orig = eng._step_device
 
     def spy(chunks, valid=None, reset=None):
         calls["resets"].append(bool(reset[0]) if reset is not None else False)
         toks, lens = orig(chunks, valid, reset)
-        return toks, np.zeros_like(lens)  # pretend nothing was emitted
+        return toks, np.zeros_like(np.asarray(lens))  # pretend no emission
 
-    monkeypatch.setattr(eng, "step_batch", spy)
+    monkeypatch.setattr(eng, "_step_device", spy)
     for _ in range(7):
         eng.feed(slot, np.zeros(1280, np.float32))
     # first call resets (slot open), then after 3 silent chunks (240 ms)
