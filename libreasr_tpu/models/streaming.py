@@ -188,6 +188,7 @@ class StreamingEngine:
         # variables enter as a jit argument (arg 0), state is donated
         self._step = jax.jit(self._build_step(), donate_argnums=(1,))
         self.state: StreamState | None = None
+        self._init = None  # jitted state builder (built on first use)
         # host-side slot bookkeeping
         self.sample_buf = [np.zeros(0, np.float32) for _ in range(self.n)]
         self.emitted = [[] for _ in range(self.n)]
@@ -339,45 +340,72 @@ class StreamingEngine:
                 started=state.started | valid | reset,
                 primed=primed,
             )
-            return new_state, (toks, lens)
+            # tokens and lengths leave the device as ONE packed array
+            # ([N, K+1] int32, lengths in the last column): a collect is
+            # then a single host fetch — each fetch pays a full tunnel
+            # round-trip on remote-attached chips, and two fetches per
+            # step was the serving stepper's dominant cost
+            packed = jnp.concatenate(
+                [toks.astype(jnp.int32), lens.astype(jnp.int32)[:, None]],
+                axis=1,
+            )
+            return new_state, packed
 
         return step
 
     # ------------------------------------------------------------------
 
-    def _ensure_state(self):
-        if self.state is None:
-            if self.scfg.beam_width > 1:
+    def _build_init(self):
+        """One jitted program building the whole StreamState. Eagerly
+        assembling the state costs one device round-trip per pytree leaf
+        (seconds through a remote tunnel); traced, it is a single
+        dispatch. Variables enter as an argument (a closed-over 70M-param
+        constant would bloat the program)."""
+        scfg, cfg = self.scfg, self.cfg
+        bundle, use_lm, n = self.bundle, self.use_lm, self.n
+        sc_len, mc_len = self._sample_carry_len, self._mel_carry_len
+        n_mels = self.frontend.n_mels
+
+        def init(variables) -> StreamState:
+            fns = bundle.decoder_fns(use_lm, variables=variables)
+            if scfg.beam_width > 1:
                 dec = init_beam_state(
-                    self.fns, self.n, self.scfg.beam_width,
-                    self.cfg.vocab_sz, bos=self.cfg.bos,
-                    max_tokens=self.scfg.beam_buf_tokens,
+                    fns, n, scfg.beam_width, cfg.vocab_sz, bos=cfg.bos,
+                    max_tokens=scfg.beam_buf_tokens,
                 )
             else:
                 dec = init_decode_state(
-                    self.fns, self.n, self.cfg.vocab_sz, bos=self.cfg.bos,
-                    max_tokens=self.scfg.max_tokens_per_step,
+                    fns, n, cfg.vocab_sz, bos=cfg.bos,
+                    max_tokens=scfg.max_tokens_per_step,
                 )
-            # the engine state is donated each step — the kept fresh
-            # template must own distinct buffers
-            self._fresh_dec = jax.tree_util.tree_map(
-                lambda x: jnp.array(x, copy=True), dec
+            # enc_state only needs the right structure/shapes: the first
+            # step resets every slot (started=False) from the learnable
+            # h0, which shares the state's pytree structure
+            enc_state = jax.tree_util.tree_map(
+                jnp.zeros_like,
+                learnable_states(
+                    variables["params"], "encoder", n, cfg.enc_num_layers
+                ),
             )
-            feats0 = jnp.zeros((self.n, 1, self.frontend.feature_sz))
-            _, enc_state = self.bundle.encode(
-                feats0, jnp.ones((self.n,), jnp.int32)
-            )
-            enc_state = jax.tree_util.tree_map(jnp.zeros_like, enc_state)
-            self.state = StreamState(
+            return StreamState(
                 enc_state=enc_state,
                 decode=dec,
-                sample_carry=jnp.zeros((self.n, self._sample_carry_len)),
-                mel_carry=jnp.zeros(
-                    (self.n, self._mel_carry_len, self.frontend.n_mels)
-                ),
-                started=jnp.zeros((self.n,), bool),
-                primed=jnp.zeros((self.n,), bool),
+                sample_carry=jnp.zeros((n, sc_len)),
+                mel_carry=jnp.zeros((n, mc_len, n_mels)),
+                started=jnp.zeros((n,), bool),
+                primed=jnp.zeros((n,), bool),
             )
+
+        return init
+
+    def _ensure_state(self):
+        if self.state is None:
+            if self._init is None:
+                self._init = jax.jit(self._build_init())
+            # two separate calls so the kept fresh template cannot share
+            # buffers with the (donated-per-step) live state
+            self.state = self._init(self.bundle.variables)
+            self._fresh_dec = self._init(self.bundle.variables).decode
             if self.mesh is not None:
                 # stream-axis sharding over "data"; fresh template too
                 from ..parallel.mesh import shard_batch
@@ -388,7 +416,9 @@ class StreamingEngine:
                 )
 
     def _step_device(self, chunks, valid=None, reset=None):
-        """Launch one device step; returns DEVICE arrays (no host sync).
+        """Launch one device step; returns the packed DEVICE output
+        ([N, K+1] int32: K token columns + a length column — one array so
+        a collect is one host fetch). No host sync.
         chunks: [N, n_buffer, chunk_samples]."""
         self._ensure_state()
         n = self.n
@@ -403,7 +433,7 @@ class StreamingEngine:
             chunks, valid, reset = shard_batch(
                 self.mesh, (chunks, valid, reset)
             )
-        self.state, (toks, lens) = self._step(
+        self.state, packed = self._step(
             self.bundle.variables,
             self.state,
             chunks,
@@ -411,7 +441,7 @@ class StreamingEngine:
             reset,
             self._fresh_dec,
         )
-        return toks, lens
+        return packed
 
     def step_batch(self, chunks: np.ndarray, valid=None, reset=None):
         """Advance all streams. chunks: [N, n_buffer, chunk_samples].
@@ -419,8 +449,8 @@ class StreamingEngine:
         Returns (tokens [N, K], token_lengths [N]) — this step's
         emissions per stream.
         """
-        toks, lens = self._step_device(chunks, valid, reset)
-        return np.asarray(toks), np.asarray(lens)
+        packed = np.asarray(self._step_device(chunks, valid, reset))
+        return packed[:, :-1], packed[:, -1]
 
     # ---- serving-facing slot API ---------------------------------------
 
@@ -509,19 +539,21 @@ class StreamingEngine:
             self.sample_buf[i] = self.sample_buf[i][need:]
             valid[i] = True
         reset = self._pending_reset & valid
-        toks, lens = self._step_device(chunks, valid, reset)
+        packed = self._step_device(chunks, valid, reset)
         self._eos_done[reset] = False
         # a reset invalidates any step dispatched before it: collect
         # skips slots whose epoch advanced past the dispatch-time value
         self._reset_epoch[reset] += 1
         self._pending_reset_arr[valid] = False
-        return (toks, lens, valid, self._reset_epoch.copy())
+        return (packed, valid, self._reset_epoch.copy())
 
     def step_collect(self, pending) -> None:
-        """Phase 2: materialize a dispatched step's outputs and
-        distribute each stepped slot's new text into its outbox."""
-        dtoks, dlens, valid, epochs = pending
-        toks, lens = np.asarray(dtoks), np.asarray(dlens)
+        """Phase 2: materialize a dispatched step's outputs (ONE host
+        fetch) and distribute each stepped slot's new text into its
+        outbox."""
+        dpacked, valid, epochs = pending
+        packed = np.asarray(dpacked)
+        toks, lens = packed[:, :-1], packed[:, -1]
         scfg = self.scfg
         eos = getattr(self.bundle.lang, "eos", None)
         for i in np.nonzero(valid)[0]:
@@ -561,6 +593,20 @@ class StreamingEngine:
             return False
         self.step_collect(pending)
         return True
+
+    def warmup(self, iters: int = 2) -> None:
+        """Compile + execute the step (and state init) before traffic
+        arrives, KEEPING the built state: slot opens mark a pending
+        reset, so the first real step re-initializes each slot on-device.
+        (Dropping the state instead forces an eager state rebuild at
+        first dispatch — seconds of per-leaf round-trips on a
+        remote-attached chip.)"""
+        w = np.zeros(
+            (self.n, self.scfg.n_buffer, self.scfg.chunk_samples),
+            np.float32,
+        )
+        for _ in range(max(iters, 1)):
+            self.step_batch(w)
 
     def drain(self, slot: int) -> str:
         """Pop this slot's undelivered text."""

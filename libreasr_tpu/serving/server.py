@@ -130,6 +130,58 @@ class BatchStepper:
             return text, self._finished[slot]
 
     def _run(self):
+        import os
+
+        if os.environ.get("LIBREASR_STEP_SYNC"):
+            return self._run_sync()
+        return self._run_pipelined()
+
+    def _run_sync(self):
+        """Fallback stepper: synchronous step-per-wakeup (no pipeline,
+        no pacing). Kept as an A/B lever for diagnosing the pipelined
+        path; enable with LIBREASR_STEP_SYNC=1."""
+        eng = self.engine
+        while True:
+            with self.cv:
+                self.cv.wait_for(lambda: self._staging or self._stop, 0.25)
+                if self._stop:
+                    return
+                staging, self._staging = self._staging, []
+            if not staging:
+                continue
+            live = [it for it in staging if it[2] == self._gen[it[1]]]
+            for kind, slot, _, pcm in live:
+                if kind == "pcm":
+                    eng.append_samples(slot, pcm)
+            t0 = time.perf_counter()
+            stepped = False
+            while eng.step_ready():
+                stepped = True
+            finished_now = []
+            for kind, slot, _, _ in live:
+                if kind == "finish":
+                    tail = eng.finish_slot(slot)
+                    stepped = True
+                    finished_now.append((slot, tail))
+                elif kind == "close":
+                    eng.close_slot(slot)
+            if stepped and self.timings is not None:
+                self.timings.record("stream_step", time.perf_counter() - t0)
+            with self.cv:
+                for i in range(eng.n):
+                    t = eng.drain(i)
+                    if t:
+                        self._delivery[i].append(t)
+                for s, tail in finished_now:
+                    if tail:
+                        self._delivery[s].append(tail)
+                    self._finished[s] = True
+                self.cv.notify_all()
+
+    def _run_pipelined(self):
+        import os
+
+        dbg = bool(os.environ.get("LIBREASR_STEP_DEBUG"))
         eng = self.engine
         pending = None  # depth-1 step pipeline (see StreamingEngine.step_dispatch)
         # dispatch pacing: without it the loop self-paces at the (fast,
@@ -170,10 +222,18 @@ class BatchStepper:
                 # step k, so k's output transfer (the dominant cost
                 # through a dispatch tunnel) overlaps k+1's device compute
                 while (p := eng.step_dispatch()) is not None:
+                    td = time.perf_counter()
                     stepped = True
                     if pending is not None:
                         eng.step_collect(pending)
                     pending = p
+                    if dbg:
+                        print(
+                            f"[stepper] dispatch n={int(p[2].sum())} "
+                            f"disp={1e3*(td-t0):.1f}ms "
+                            f"coll={1e3*(time.perf_counter()-td):.1f}ms",
+                            flush=True,
+                        )
                 if stepped:
                     next_dispatch = time.perf_counter() + coalesce_s
             if pending is not None and (
@@ -182,8 +242,15 @@ class BatchStepper:
             ):
                 # collect before finish/close (ordering), or once the
                 # pacing window passed with nothing new to overlap
+                tc = time.perf_counter()
                 eng.step_collect(pending)
                 pending = None
+                if dbg:
+                    print(
+                        f"[stepper] tail-collect "
+                        f"{1e3*(time.perf_counter()-tc):.1f}ms",
+                        flush=True,
+                    )
             finished_now = []
             for kind, slot, _, _ in live:
                 if kind == "finish":
@@ -345,7 +412,10 @@ def serve(lang: str = "en", port: int | None = None, config: str | None = None,
         conf = parse_and_apply_config(inference=True, lang=lang, path=config)
         bundle = ASRBundle.from_config(conf, lang_name=lang)
     port = port or LANG_PORTS.get(lang, 50051)
-    server, _ = make_server(bundle, port, beam_width=beam, use_lm=use_lm)
+    server, servicer = make_server(bundle, port, beam_width=beam, use_lm=use_lm)
+    # compile + settle the batched step before accepting traffic so the
+    # first connection doesn't eat the jit latency
+    servicer.engine.warmup()
     server.start()
     print(f"[api-server] lang={lang} listening on :{port}"
           + (f" (beam={beam})" if beam > 1 else ""))

@@ -53,11 +53,10 @@ def run_server(port: int, n_streams: int, n_buffer: int, beam: int,
     )
     engine = StreamingEngine(bundle, n_streams=n_streams, scfg=scfg)
     # compile + first-step warmup before clients arrive, so the bench
-    # measures steady state, not jit latency
-    w = np.zeros((n_streams, n_buffer, scfg.chunk_samples), np.float32)
-    for _ in range(3):
-        engine.step_batch(w)
-    engine.state = None  # drop warmup state; slots re-init on open
+    # measures steady state, not jit latency. The warm state is KEPT:
+    # slot opens reset on-device; rebuilding the state eagerly costs
+    # seconds of per-leaf round-trips through the tunnel
+    engine.warmup(3)
     server, servicer = make_server(
         bundle, port, workers=max(2 * n_streams, 16), engine=engine
     )

@@ -39,8 +39,9 @@ def test_silence_triggers_reset(bundle, rng, monkeypatch):
 
     def spy(chunks, valid=None, reset=None):
         calls["resets"].append(bool(reset[0]) if reset is not None else False)
-        toks, lens = orig(chunks, valid, reset)
-        return toks, np.zeros_like(np.asarray(lens))  # pretend no emission
+        packed = np.asarray(orig(chunks, valid, reset)).copy()
+        packed[:, -1] = 0  # zero the length column: pretend no emission
+        return packed
 
     monkeypatch.setattr(eng, "_step_device", spy)
     for _ in range(7):
