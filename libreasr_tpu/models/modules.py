@@ -59,6 +59,19 @@ class RNNLayer(nn.Module):
     # eval, LSTM, pack semantics, no zoneout, f32 cells, TPU backend,
     # and a sequence long enough to amortize the launch.
     use_pallas: bool = False
+    # training fast path: the same fused forward plus a reverse-time
+    # Pallas backward (custom_vjp, ops/pallas/lstm.py:lstm_train_core).
+    # Gradient-exact vs the scan path (tests/test_pallas_lstm.py).
+    use_pallas_train: bool = False
+
+    def _backend_ok(self) -> bool:
+        # LIBREASR_FORCE_PALLAS=1 engages the kernels in interpret mode
+        # on CPU so tests cover these branches without TPU hardware
+        import os
+
+        return jax.default_backend() == "tpu" or (
+            os.environ.get("LIBREASR_FORCE_PALLAS") == "1"
+        )
 
     def _pallas_eligible(self, cell_params, x, train: bool) -> bool:
         if not self.use_pallas or train:
@@ -67,17 +80,24 @@ class RNNLayer(nn.Module):
             return False
         if self.zoneout != 0.0 or x.shape[1] < 16:
             return False
-        # LIBREASR_FORCE_PALLAS=1 engages the kernel in interpret mode on
-        # CPU so tests cover this branch without TPU hardware
-        import os
-
-        if jax.default_backend() != "tpu" and not (
-            os.environ.get("LIBREASR_FORCE_PALLAS") == "1"
-        ):
-            return False
         # int8-quantized cells dispatch to the int8 kernel variant
         # inside lstm_pack_pallas — eligible too
-        return True
+        return self._backend_ok()
+
+    def _pallas_train_eligible(self, cell_params, x, train: bool) -> bool:
+        if not self.use_pallas_train or not train:
+            return False
+        if self.rnn_type != "LSTM" or self.length_mode != "pack":
+            return False
+        if self.zoneout != 0.0 or self.dropconnect != 0.0:
+            return False
+        if x.shape[1] < 16:
+            return False
+        from ..ops.quant import QuantizedTensor
+
+        if isinstance(cell_params.recurrent_kernel, QuantizedTensor):
+            return False  # quantized cells never train
+        return self._backend_ok()
 
     def initial_state(self, params_scope_unused, batch: int):
         """Expand the learnable h0 to a batch (called via .apply)."""
@@ -110,6 +130,14 @@ class RNNLayer(nn.Module):
         rng = None
         if train and (self.zoneout > 0 or self.dropconnect > 0):
             rng = self.make_rng("dropout")
+        if self._pallas_train_eligible(cell_params, x, train):
+            from ..ops.pallas.lstm import lstm_pack_train_pallas
+
+            return lstm_pack_train_pallas(
+                x, tuple(state), cell_params, lengths,
+                compute_dtype=self.compute_dtype,
+                interpret=jax.default_backend() != "tpu",
+            )
         if self._pallas_eligible(cell_params, x, train):
             from ..ops.pallas.lstm import lstm_pack_pallas
 
@@ -151,6 +179,7 @@ class RNNStack(nn.Module):
     compute_dtype: Any = None
     length_mode: str = "pack"  # see RNNLayer.length_mode
     use_pallas: bool = False   # see RNNLayer.use_pallas
+    use_pallas_train: bool = False  # see RNNLayer.use_pallas_train
 
     def _cell_type(self) -> str:
         if self.rnn_type == "LSTM" and self.layer_norm:
@@ -178,6 +207,7 @@ class RNNStack(nn.Module):
                 compute_dtype=self.compute_dtype,
                 length_mode=self.length_mode,
                 use_pallas=self.use_pallas,
+                use_pallas_train=self.use_pallas_train,
                 name=f"layer{i}",
             )
             x, st = layer(
@@ -215,6 +245,7 @@ class Encoder(nn.Module):
     reduction_factors: tuple = ()
     compute_dtype: Any = None
     use_pallas: bool = False
+    use_pallas_train: bool = False
 
     @nn.compact
     def __call__(self, x, state=None, lengths=None, train: bool = False):
@@ -234,6 +265,7 @@ class Encoder(nn.Module):
             # through torch pack_padded, NBRC through haste
             length_mode="haste" if self.rnn_type == "NBRC" else "pack",
             use_pallas=self.use_pallas,
+            use_pallas_train=self.use_pallas_train,
             name="rnn_stack",
         )(x, state=state, lengths=lengths, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

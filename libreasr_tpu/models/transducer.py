@@ -42,6 +42,9 @@ class TransducerConfig:
     enc_reduction_factors: tuple = ()
     # fused Pallas LSTM for eval-mode encode on TPU (ops/pallas/lstm.py)
     enc_use_pallas: bool = True
+    # fused Pallas LSTM (fwd + custom-VJP reverse-time bwd) for the
+    # training encode path (ops/pallas/lstm.py:lstm_train_core)
+    enc_use_pallas_train: bool = True
     pred_num_layers: int = 2
     pred_dropout: float = 0.05
     pred_rnn_type: str = "NBRC"
@@ -76,6 +79,7 @@ class TransducerConfig:
             enc_reduction_indices=tuple(enc.get("reduction_indices", ())),
             enc_reduction_factors=tuple(enc.get("reduction_factors", ())),
             enc_use_pallas=enc.get("use_pallas", True),
+            enc_use_pallas_train=enc.get("use_pallas_train", True),
             pred_num_layers=pred["num_layers"],
             pred_dropout=pred["dropout"],
             pred_rnn_type=pred["rnn_type"],
@@ -112,6 +116,7 @@ class Transducer(nn.Module):
             reduction_factors=c.enc_reduction_factors,
             compute_dtype=c.compute_dtype,
             use_pallas=c.enc_use_pallas,
+            use_pallas_train=c.enc_use_pallas_train,
         )
         self.predictor = Predictor(
             vocab_sz=c.vocab_sz,

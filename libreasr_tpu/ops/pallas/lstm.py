@@ -331,6 +331,287 @@ def _lstm_seq_pallas_int8(wx, rq, rscale, h0, c0, *, interpret: bool = False):
     return jnp.moveaxis(y, 0, 1)[:n], jnp.moveaxis(yc, 0, 1)[:n]
 
 
+# ---------------------------------------------------------------------------
+# training: custom_vjp core with a reverse-time backward kernel
+# ---------------------------------------------------------------------------
+
+# forward streams 4 block arrays (wx, y, c, v) next to the 8 MB bf16 R:
+# batch blocks of 64 double-buffer inside the ~16 MB VMEM budget
+_MAX_BLOCK_N_TRAIN = 64
+# backward streams 6 (dy, dc_in, v, c, c_prev, dv) — measured 16.52 MB
+# scoped at 64 (536 KB over), so it blocks at 32
+_MAX_BLOCK_N_TRAIN_BWD = 32
+
+
+def _lstm_train_fwd_kernel(wx_ref, r_ref, h0_ref, c0_ref,
+                           y_ref, yc_ref, yv_ref, h_s, c_s):
+    """Forward variant streaming the pre-activation gates v too — the
+    backward recurrence recomputes gate activations from v on the VPU
+    instead of re-running the recurrent matmul."""
+    t = pl.program_id(1)
+    h = h0_ref.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    v = (
+        jnp.dot(
+            h_s[:].astype(r_ref.dtype), r_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + wx_ref[0]
+    )
+    i = jax.nn.sigmoid(v[:, :h])
+    g = jnp.tanh(v[:, h : 2 * h])
+    f = jax.nn.sigmoid(v[:, 2 * h : 3 * h])
+    o = jax.nn.sigmoid(v[:, 3 * h :])
+    c_new = f * c_s[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_s[:] = h_new
+    c_s[:] = c_new
+    y_ref[0] = h_new
+    yc_ref[0] = c_new
+    yv_ref[0] = v
+
+
+def _lstm_train_bwd_kernel(dy_ref, dcin_ref, v_ref, c_ref, cprev_ref, r_ref,
+                           dv_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+    """One grid step = one (batch-block, REVERSED timestep): the index
+    maps feed blocks in reverse time, so program step 0 is t=T-1. The
+    dh/dc recurrence lives in VMEM scratch; R stays resident for the
+    dh_{t-1} = dv @ R^T matmul (one HBM read of R for the whole grid —
+    the same residency trick as the forward kernel)."""
+    p = pl.program_id(1)
+    p_steps = pl.num_programs(1)
+    h = dy_ref.shape[-1]
+
+    @pl.when(p == 0)
+    def _():
+        dh_s[:] = jnp.zeros(dh_s.shape, dh_s.dtype)
+        dc_s[:] = jnp.zeros(dc_s.shape, dc_s.dtype)
+
+    v = v_ref[0]
+    i = jax.nn.sigmoid(v[:, :h])
+    g = jnp.tanh(v[:, h : 2 * h])
+    f = jax.nn.sigmoid(v[:, 2 * h : 3 * h])
+    o = jax.nn.sigmoid(v[:, 3 * h :])
+    tc = jnp.tanh(c_ref[0])
+    dh = dy_ref[0] + dh_s[:]
+    dc = dcin_ref[0] + dc_s[:] + dh * o * (1.0 - tc * tc)
+    dv = jnp.concatenate(
+        [
+            dc * g * i * (1.0 - i),               # d pre-sigmoid(i)
+            dc * i * (1.0 - g * g),               # d pre-tanh(g)
+            dc * cprev_ref[0] * f * (1.0 - f),    # d pre-sigmoid(f)
+            dh * tc * o * (1.0 - o),              # d pre-sigmoid(o)
+        ],
+        axis=-1,
+    )
+    dv_ref[0] = dv
+    dc_s[:] = dc * f
+    # dh_{t-1}: contract dv's gate axis with R's gate axis (R^T matmul
+    # without materializing the transpose)
+    dh_s[:] = jax.lax.dot_general(
+        dv.astype(r_ref.dtype), r_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(p == p_steps - 1)
+    def _():
+        dh0_ref[:] = dh_s[:]
+        dc0_ref[:] = dc_s[:]
+
+
+def _train_fwd_call(wx, r, h0, c0, interpret):
+    n, t, g4 = wx.shape
+    h = g4 // 4
+    bn = min(n, _MAX_BLOCK_N_TRAIN)
+    pad = (-n) % bn
+    if pad:
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+        c0 = jnp.pad(c0, ((0, pad), (0, 0)))
+    nb = (n + pad) // bn
+    wx_t = jnp.moveaxis(wx, 1, 0).astype(jnp.float32)
+
+    y, yc, yv = pl.pallas_call(
+        _lstm_train_fwd_kernel,
+        grid=(nb, t),
+        in_specs=[
+            pl.BlockSpec((1, bn, g4), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bn, h), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, g4), lambda b, i: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, n + pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, n + pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, n + pad, g4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bn, h), jnp.float32),
+            pltpu.VMEM((bn, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wx_t, r, h0.astype(jnp.float32), c0.astype(jnp.float32))
+    return (
+        jnp.moveaxis(y, 0, 1)[:n],
+        jnp.moveaxis(yc, 0, 1)[:n],
+        jnp.moveaxis(yv, 0, 1)[:n],
+    )
+
+
+def _train_bwd_call(dy, dc_in, v, c_seq, cprev, r, interpret):
+    n, t, g4 = v.shape
+    h = g4 // 4
+    bn = min(n, _MAX_BLOCK_N_TRAIN_BWD)
+    pad = (-n) % bn
+    if pad:
+        z3 = ((0, pad), (0, 0), (0, 0))
+        dy, dc_in = jnp.pad(dy, z3), jnp.pad(dc_in, z3)
+        v, c_seq, cprev = jnp.pad(v, z3), jnp.pad(c_seq, z3), jnp.pad(cprev, z3)
+    nb = (n + pad) // bn
+    rev = lambda b, i: (t - 1 - i, b, 0)  # feed blocks newest-first
+
+    dv, dh0, dc0 = pl.pallas_call(
+        _lstm_train_bwd_kernel,
+        grid=(nb, t),
+        in_specs=[
+            pl.BlockSpec((1, bn, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, g4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bn, g4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, n + pad, g4), jnp.float32),
+            jax.ShapeDtypeStruct((n + pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((n + pad, h), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bn, h), jnp.float32),
+            pltpu.VMEM((bn, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.moveaxis(dy, 1, 0).astype(jnp.float32),
+        jnp.moveaxis(dc_in, 1, 0).astype(jnp.float32),
+        jnp.moveaxis(v, 1, 0),
+        jnp.moveaxis(c_seq, 1, 0),
+        jnp.moveaxis(cprev, 1, 0),
+        r,
+    )
+    return jnp.moveaxis(dv, 0, 1)[:n], dh0[:n], dc0[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lstm_train_core(wx, r, h0, c0, interpret=False):
+    """Differentiable fused recurrence: (wx, r, h0, c0) -> (y, c_seq).
+
+    The pack/mask/gather length semantics live OUTSIDE this core (plain
+    differentiable jnp), so the kernels only ever see the dense
+    recurrence. Weight gradients dR / dWx reduce to one large MXU
+    matmul / an identity outside the backward kernel — the kernel
+    streams dv and carries only the sequential dh/dc recurrence."""
+    y, c_seq, _ = _train_fwd_call(wx, r, h0, c0, interpret)
+    return y, c_seq
+
+
+def _train_core_fwd(wx, r, h0, c0, interpret):
+    y, c_seq, v = _train_fwd_call(wx, r, h0, c0, interpret)
+    return (y, c_seq), (v, c_seq, y, h0, c0, r)
+
+
+def _train_core_bwd(interpret, res, cts):
+    dy, dc_in = cts
+    v, c_seq, y, h0, c0, r = res
+    cprev = jnp.concatenate([c0[:, None].astype(c_seq.dtype), c_seq[:, :-1]], 1)
+    dv, dh0, dc0 = _train_bwd_call(dy, dc_in, v, c_seq, cprev, r, interpret)
+    hprev = jnp.concatenate([h0[:, None].astype(y.dtype), y[:, :-1]], 1)
+    # dR = sum_t h_{t-1}^T dv_t — one [H, N*T] x [N*T, 4H] MXU matmul
+    n, t, g4 = dv.shape
+    dr = jax.lax.dot_general(
+        hprev.reshape(n * t, -1), dv.reshape(n * t, g4),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dv, dr.astype(r.dtype), dh0.astype(h0.dtype), dc0.astype(c0.dtype)
+
+
+lstm_train_core.defvjp(_train_core_fwd, _train_core_bwd)
+
+
+def lstm_pack_train_pallas(
+    x, state, params, lengths=None, *, compute_dtype=None,
+    interpret: bool = False,
+):
+    """Training fast path matching ops.rnn.lstm_scan(length_mode="pack",
+    zoneout=0, dropconnect=0) — forward AND gradients. The input
+    projection and the length semantics are plain differentiable XLA;
+    only the recurrence core carries a custom VJP.
+
+    Rolling through padding then masking/gathering is gradient-exact vs
+    the scan's frozen-state semantics: rows are independent, outputs
+    past each row's length receive zero cotangent, and the final-state
+    gather reads exactly the step the scan freezes at."""
+    h0, c0 = state
+    if compute_dtype is not None:
+        wx = jnp.dot(
+            x.astype(compute_dtype), params.kernel.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) + params.bias
+        r = params.recurrent_kernel.astype(compute_dtype)
+    else:
+        wx = jnp.dot(
+            x, params.kernel, preferred_element_type=jnp.float32
+        ) + params.bias
+        r = params.recurrent_kernel
+    if not interpret and r.dtype == jnp.float32:
+        # an f32 R at H=1024 is 16 MB — over the VMEM budget next to the
+        # streamed blocks. bf16 residency (f32 accumulation) matches the
+        # inference kernel and the bf16 training policy; the cast sits
+        # outside the custom_vjp so dR accumulates back into f32 params.
+        r = r.astype(jnp.bfloat16)
+    y, yc = lstm_train_core(wx, r, h0, c0, interpret)
+    if lengths is None:
+        t_last = x.shape[1] - 1
+        return y, (y[:, t_last], yc[:, t_last])
+    t = x.shape[1]
+    valid = (jnp.arange(t)[None, :] < lengths[:, None])      # [N, T]
+    y_masked = jnp.where(valid[..., None], y, 0.0)
+    idx = jnp.clip(lengths - 1, 0, t - 1)[:, None, None]
+    h_last = jnp.take_along_axis(y, idx, axis=1)[:, 0]
+    c_last = jnp.take_along_axis(yc, idx, axis=1)[:, 0]
+    empty = (lengths == 0)[:, None]
+    h_f = jnp.where(empty, h0, h_last)
+    c_f = jnp.where(empty, c0, c_last)
+    return y_masked, (h_f, c_f)
+
+
 def lstm_pack_pallas(x, state, params, lengths=None, *, interpret: bool = False):
     """Inference fast path with torch pack_padded semantics, matching
     ops.rnn.lstm_scan(length_mode="pack") exactly: outputs zeroed past

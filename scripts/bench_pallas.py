@@ -64,11 +64,83 @@ def timeit(step_fn, x, s, p, k=8, reps=5):
     return float(np.median(deltas)), None
 
 
+def train_main(args):
+    """fwd+bwd per layer: scan autodiff vs the custom-VJP Pallas path.
+    The chained step maps x -> dx (same shape), with the weight grads
+    kept alive through an epsilon-weighted sum so neither path can DCE
+    the dR / dW work."""
+    from libreasr_tpu.ops import rnn
+    from libreasr_tpu.ops.pallas.lstm import lstm_pack_train_pallas
+
+    print(f"backend: {jax.default_backend()}  device: {jax.devices()[0]}")
+    h = args.hidden
+    i = h
+    params = rnn.init_lstm(jax.random.PRNGKey(0), i, h)
+    rng = np.random.default_rng(0)
+
+    def mk(fn):
+        def step(x, s, p):
+            def loss(xx, pp):
+                return jnp.sum(fn(xx, s, pp))
+
+            dx, dp = jax.grad(loss, argnums=(0, 1))(x, p)
+            keep = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(dp))
+            return dx + 1e-30 * keep
+
+        return step
+
+    scan_train = mk(
+        lambda x, s, p: rnn.lstm_scan(
+            x, s, p, training=True, compute_dtype=jnp.bfloat16
+        )[0]
+    )
+    pallas_train = mk(
+        lambda x, s, p: lstm_pack_train_pallas(
+            x, s, p, None, compute_dtype=jnp.bfloat16
+        )[0]
+    )
+
+    shapes = [(8, 500), (32, 250), (64, 100), (64, 500)]
+    if not args.quick:
+        shapes += [(8, 2000), (128, 250), (256, 100)]
+    print("\n| N | T | scan fwd+bwd | pallas fwd+bwd | speedup |")
+    print("|---|---|---|---|---|")
+    for n, t in shapes:
+        x = jnp.asarray(rng.standard_normal((n, t, i)).astype(np.float32))
+        state = (jnp.zeros((n, h)), jnp.zeros((n, h)))
+        try:
+            ts, _ = timeit(scan_train, x, state, params)
+            tp, _ = timeit(pallas_train, x, state, params)
+            print(f"| {n} | {t} | {ts*1e3:.2f} ms | {tp*1e3:.2f} ms "
+                  f"| {ts/tp:.2f}x |")
+        except Exception as e:  # noqa: BLE001
+            print(f"| {n} | {t} | - | FAIL {type(e).__name__}: {e} | - |")
+
+    # gradient sanity at one shape (scan f32 as the oracle)
+    n, t = 8, 100
+    x = jnp.asarray(rng.standard_normal((n, t, i)).astype(np.float32))
+    state = (jnp.zeros((n, h)), jnp.zeros((n, h)))
+
+    def gx(fn):
+        return jax.grad(lambda xx: jnp.sum(fn(xx, state, params)[0]))(x)
+
+    g_ref = gx(lambda x, s, p: rnn.lstm_scan(x, s, p))
+    g_p = gx(lambda x, s, p: lstm_pack_train_pallas(x, s, p, None))
+    err = float(jnp.max(jnp.abs(g_ref - g_p)))
+    rel = err / float(jnp.max(jnp.abs(g_ref)))
+    print(f"\nmax |dx_scan_f32 - dx_pallas| @ N={n},T={t}: {err:.2e} "
+          f"(rel {rel:.2e}; bf16 R in the kernel)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--hidden", type=int, default=1024)
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark fwd+bwd (training) instead of encode")
     args = ap.parse_args()
+    if args.train:
+        return train_main(args)
 
     from libreasr_tpu.ops import rnn
     from libreasr_tpu.ops.pallas.lstm import lstm_forward_pallas

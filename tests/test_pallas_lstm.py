@@ -161,6 +161,113 @@ def test_pallas_int8_no_lengths(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_train_grad_parity(rng):
+    """lstm_pack_train_pallas (custom_vjp: reverse-time Pallas backward)
+    must match jax.grad through the scan path — loss, all four gradient
+    groups (cell params, x, h0, c0), with ragged lengths including a
+    zero-length row. Interpret mode keeps R in f32, so the match is at
+    float-epsilon level."""
+    from libreasr_tpu.ops.pallas.lstm import lstm_pack_train_pallas
+
+    n, t, i, h = 3, 12, 8, 16
+    params = rnn_ops.init_lstm(jax.random.PRNGKey(7), i, h)
+    x = jnp.asarray(rng.standard_normal((n, t, i)).astype(np.float32))
+    h0 = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([12, 7, 0])
+    # a fixed non-uniform cotangent exercises every dy position
+    w = jnp.cos(jnp.arange(n * t * h, dtype=jnp.float32).reshape(n, t, h))
+
+    def loss(fn):
+        def go(p, x, h0, c0):
+            y, (hf, cf) = fn(p, x, h0, c0)
+            return jnp.sum(y * w) + jnp.sum(hf * cf)
+
+        return jax.value_and_grad(go, argnums=(0, 1, 2, 3))(params, x, h0, c0)
+
+    v_s, g_s = loss(
+        lambda p, x, h0, c0: rnn_ops.lstm_scan(x, (h0, c0), p, lengths=lengths)
+    )
+    v_p, g_p = loss(
+        lambda p, x, h0, c0: lstm_pack_train_pallas(
+            x, (h0, c0), p, lengths, interpret=True
+        )
+    )
+    np.testing.assert_allclose(float(v_p), float(v_s), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s), jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_train_grad_parity_batch_blocked(rng):
+    """Backward over multiple batch blocks (padded rows) must agree with
+    the single-block layout."""
+    from libreasr_tpu.ops.pallas import lstm as pallas_lstm
+    from libreasr_tpu.ops.pallas.lstm import lstm_pack_train_pallas
+
+    n, t, i, h = 10, 8, 8, 8
+    params = rnn_ops.init_lstm(jax.random.PRNGKey(8), i, h)
+    x = jnp.asarray(rng.standard_normal((n, t, i)).astype(np.float32))
+    st = (jnp.zeros((n, h)), jnp.zeros((n, h)))
+
+    def go(p):
+        y, (hf, cf) = lstm_pack_train_pallas(x, st, p, None, interpret=True)
+        return jnp.sum(y**2) + jnp.sum(hf) - jnp.sum(cf)
+
+    ref = jax.grad(go)(params)
+    old = (pallas_lstm._MAX_BLOCK_N_TRAIN, pallas_lstm._MAX_BLOCK_N_TRAIN_BWD)
+    try:
+        # 10 -> 3 blocks (2 padded rows); fwd and bwd block independently
+        pallas_lstm._MAX_BLOCK_N_TRAIN = 4
+        pallas_lstm._MAX_BLOCK_N_TRAIN_BWD = 3
+        blocked = jax.grad(go)(params)
+    finally:
+        pallas_lstm._MAX_BLOCK_N_TRAIN, pallas_lstm._MAX_BLOCK_N_TRAIN_BWD = old
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(blocked)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_train_encoder_integration_forced(rng, monkeypatch):
+    """The RNNLayer training fast path (models/modules.py), forced on
+    CPU: encoder loss gradients must match the scan path. compute_dtype
+    stays None here so interpret mode runs f32 end-to-end."""
+    from libreasr_tpu.models.modules import Encoder
+
+    monkeypatch.setenv("LIBREASR_FORCE_PALLAS", "1")
+    n, t, f, h = 2, 20, 12, 8
+    x = jnp.asarray(rng.standard_normal((n, t, f)).astype(np.float32))
+    lengths = jnp.asarray([20, 11])
+
+    def grads(use_pallas_train):
+        enc = Encoder(
+            feature_sz=f, hidden_sz=h, out_sz=h, num_layers=2,
+            dropout=0.0, rnn_type="LSTM",
+            use_pallas_train=use_pallas_train,
+        )
+        vars_ = enc.init(jax.random.PRNGKey(0), x, lengths=lengths)
+
+        def loss(v):
+            (y, _), _ = enc.apply(
+                v, x, lengths=lengths, train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(y**2)
+
+        return jax.grad(loss)(vars_)
+
+    g_p = grads(True)
+    g_s = grads(False)
+    # dR accumulates as one big matmul vs the scan's per-step adds —
+    # reassociation noise at float-epsilon scale across 2 layers
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=2e-5)
+
+
 def test_pallas_single_step(rng):
     n, i, h = 2, 8, 8
     params = rnn_ops.init_lstm(jax.random.PRNGKey(1), i, h)
