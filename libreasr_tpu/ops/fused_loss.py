@@ -40,14 +40,24 @@ class JointParams(NamedTuple):
     b_out: jax.Array   # [V]
 
 
-def _chunk_lp(enc_chunk, pred_proj, jp: JointParams, labels, blank):
+def _mmc(a, b, cdt):
+    """Matmul with optional low-precision INPUTS and f32 accumulation —
+    the joint's [.,J]x[J,V] product is the train step's FLOP hot spot
+    and runs ~4x faster on the MXU in bf16; the DP and the logsumexp
+    normalization stay f32."""
+    if cdt is not None:
+        a = a.astype(cdt)
+        b = b.astype(cdt)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _chunk_lp(enc_chunk, pred_proj, jp: JointParams, labels, blank,
+              cdt=None):
     """[N,Tc,H] x [N,U1,J] -> (lp_blank [N,Tc,U1], lp_emit [N,Tc,U])."""
-    enc_proj = (
-        jnp.dot(enc_chunk, jp.w_enc, preferred_element_type=jnp.float32)
-    )                                                    # [N,Tc,J]
+    enc_proj = _mmc(enc_chunk, jp.w_enc, cdt)            # [N,Tc,J]
     hidden = jnp.tanh(enc_proj[:, :, None, :] + pred_proj[:, None, :, :])
     logits = (
-        jnp.dot(hidden, jp.w_out, preferred_element_type=jnp.float32)
+        _mmc(hidden, jp.w_out, cdt)
         + jp.b_out
     )                                                    # [N,Tc,U1,V]
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
@@ -60,21 +70,46 @@ def _chunk_lp(enc_chunk, pred_proj, jp: JointParams, labels, blank):
     return lp_blank, lp_emit
 
 
-def _pred_proj(pred_out, jp: JointParams):
-    return (
-        jnp.dot(pred_out, jp.w_pred, preferred_element_type=jnp.float32)
-        + jp.b_pred
-    )
+def _pred_proj(pred_out, jp: JointParams, cdt=None):
+    return _mmc(pred_out, jp.w_pred, cdt) + jp.b_pred
 
 
-def _all_lp(enc_out, pred_out, jp, labels, blank, t_chunk):
+def _joint_pallas_ok(jp: JointParams, cdt) -> bool:
+    """Fused Pallas joint kernels (ops/pallas/joint_lp.py) are OPT-IN
+    (LIBREASR_PALLAS_JOINT=1 on TPU; LIBREASR_FORCE_PALLAS=1 engages
+    interpret mode for CPU tests). Measured on v5e: the kernels beat the
+    XLA chunked path standalone (10.5 -> 9.3 ms fwd+bwd at the flagship
+    shape) but lose ~1.5 ms inside the full train step to operand
+    layout copies XLA inserts at the custom-call boundaries — so the
+    XLA path stays the default until that overhead is fixed."""
+    import os
+
+    if os.environ.get("LIBREASR_FORCE_PALLAS") == "1":
+        return True
+    if os.environ.get("LIBREASR_PALLAS_JOINT") != "1":
+        return False
+    if jax.default_backend() != "tpu" or cdt is None:
+        return False
+    j, v = jp.w_out.shape
+    return j % 128 == 0 and v % 128 == 0
+
+
+def _joint_w_dtype(cdt):
+    # interpret mode (CPU tests) keeps f32 for exactness; on TPU the
+    # resident W_out follows the compute policy
+    if jax.default_backend() != "tpu":
+        return jnp.float32
+    return cdt or jnp.bfloat16
+
+
+def _all_lp(enc_out, pred_out, jp, labels, blank, t_chunk, cdt=None):
     n, t, _ = enc_out.shape
-    pp = _pred_proj(pred_out, jp)
+    pp = _pred_proj(pred_out, jp, cdt)
     n_chunks = t // t_chunk
     enc_chunks = enc_out.reshape(n, n_chunks, t_chunk, -1).swapaxes(0, 1)
 
     def body(_, enc_c):
-        return (), _chunk_lp(enc_c, pp, jp, labels, blank)
+        return (), _chunk_lp(enc_c, pp, jp, labels, blank, cdt)
 
     _, (lpb, lpe) = jax.lax.scan(body, (), enc_chunks)
     # [n_chunks, N, Tc, .] -> [N, T, .]
@@ -91,38 +126,55 @@ def _pad_time(enc_out, t_chunk):
     return enc_out, t + pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def rnnt_loss_fused(
     enc_out, pred_out, joint_params, labels, frame_lengths, label_lengths,
-    blank: int = 0, t_chunk: int = 16,
+    blank: int = 0, t_chunk: int = 16, compute_dtype=None,
 ):
     """Per-sequence RNN-T loss from raw encoder/predictor outputs.
 
     enc_out: [N, T, H]; pred_out: [N, U+1, H]; labels [N, U].
     Returns loss [N]. Differentiable w.r.t. enc_out, pred_out and
-    joint_params with chunked recomputation.
+    joint_params with chunked recomputation. compute_dtype (static)
+    runs the joint matmuls with low-precision inputs (f32 accumulation);
+    the DP itself always runs f32.
     """
     loss, _ = _fused_fwd_impl(
         enc_out, pred_out, joint_params, labels, frame_lengths,
-        label_lengths, blank, t_chunk,
+        label_lengths, blank, t_chunk, compute_dtype,
     )
     return loss
 
 
-def _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk):
+def _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk,
+                    cdt=None):
     enc_p, t_pad = _pad_time(enc_out.astype(jnp.float32), t_chunk)
-    lpb, lpe = _all_lp(enc_p, pred_out.astype(jnp.float32), jp, labels, blank, t_chunk)
+    pred32 = pred_out.astype(jnp.float32)
+    if _joint_pallas_ok(jp, cdt):
+        from .pallas.joint_lp import joint_lp_fwd_pallas
+
+        encp = _mmc(enc_p, jp.w_enc, cdt)
+        pp = _pred_proj(pred32, jp, cdt)
+        lpb, lpe = joint_lp_fwd_pallas(
+            encp, pp, jp.w_out, jp.b_out, labels, blank,
+            interpret=jax.default_backend() != "tpu",
+            w_dtype=_joint_w_dtype(cdt),
+        )
+    else:
+        lpb, lpe = _all_lp(enc_p, pred32, jp, labels, blank, t_chunk, cdt)
     alpha, lpe_m = _forward_alphas(lpb, lpe, yl)
     log_z = _terminal_gather(alpha, lpb, fl, yl)
     return -log_z, (lpb, lpe_m)
 
 
-def _fused_fwd(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk):
-    loss, _ = _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk)
+def _fused_fwd(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk,
+               cdt=None):
+    loss, _ = _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank,
+                              t_chunk, cdt)
     return loss, (enc_out, pred_out, jp, labels, fl, yl)
 
 
-def _fused_bwd(blank, t_chunk, res, g):
+def _fused_bwd(blank, t_chunk, cdt, res, g):
     enc_out, pred_out, jp, labels, fl, yl = res
     enc_out32 = enc_out.astype(jnp.float32)
     pred_out32 = pred_out.astype(jnp.float32)
@@ -130,7 +182,18 @@ def _fused_bwd(blank, t_chunk, res, g):
     u1 = pred_out.shape[1]
 
     enc_p, t = _pad_time(enc_out32, t_chunk)
-    lpb, lpe = _all_lp(enc_p, pred_out32, jp, labels, blank, t_chunk)
+    use_pallas = _joint_pallas_ok(jp, cdt)
+    if use_pallas:
+        from .pallas.joint_lp import joint_lp_fwd_pallas
+
+        lpb, lpe = joint_lp_fwd_pallas(
+            _mmc(enc_p, jp.w_enc, cdt), _pred_proj(pred_out32, jp, cdt),
+            jp.w_out, jp.b_out, labels, blank,
+            interpret=jax.default_backend() != "tpu",
+            w_dtype=_joint_w_dtype(cdt),
+        )
+    else:
+        lpb, lpe = _all_lp(enc_p, pred_out32, jp, labels, blank, t_chunk, cdt)
     alpha, lpe_m = _forward_alphas(lpb, lpe, yl)
     beta = _backward_betas(lpb, lpe_m, fl, yl)
     log_z = _terminal_gather(alpha, lpb, fl, yl)
@@ -168,15 +231,50 @@ def _fused_bwd(blank, t_chunk, res, g):
     g_lpb = -occ_blank * g[:, None, None]
     g_lpe = -occ_emit * g[:, None, None]
 
+    if use_pallas:
+        # fused Pallas joint backward: dlogits forms in VMEM and the
+        # weight grads accumulate there too — nothing [.,V]-shaped ever
+        # hits HBM (ops/pallas/joint_lp.py)
+        from .pallas.joint_lp import joint_lp_bwd_pallas
+
+        encp, encp_vjp = jax.vjp(
+            lambda e, w: _mmc(e, w, cdt), enc_p, jp.w_enc
+        )
+        pp, pp_vjp = jax.vjp(
+            lambda po, jp_: _pred_proj(po, jp_, cdt), pred_out32, jp
+        )
+        d_encp, d_pp, d_wout, d_bout = joint_lp_bwd_pallas(
+            encp, pp, jp.w_out, jp.b_out, labels, g_lpb, g_lpe, blank,
+            interpret=jax.default_backend() != "tpu",
+            w_dtype=_joint_w_dtype(cdt),
+        )
+        d_enc_p, d_wenc = encp_vjp(d_encp)
+        d_pred, d_jp_pred = pp_vjp(d_pp)
+        d_jp = JointParams(
+            w_pred=d_jp_pred.w_pred,
+            b_pred=d_jp_pred.b_pred,
+            w_enc=d_wenc,
+            w_out=d_wout.astype(jp.w_out.dtype),
+            b_out=d_bout.astype(jp.b_out.dtype),
+        )
+        return (
+            d_enc_p[:, :t_orig].astype(enc_out.dtype),
+            d_pred.astype(pred_out.dtype),
+            d_jp,
+            None,
+            None,
+            None,
+        )
+
     # pull back through the joint, chunk by chunk, recomputing logits
-    pp = _pred_proj(pred_out32, jp)
+    pp = _pred_proj(pred_out32, jp, cdt)
     n_chunks = t // t_chunk
     enc_chunks = enc_p.reshape(n, n_chunks, t_chunk, h).swapaxes(0, 1)
     g_lpb_c = g_lpb.reshape(n, n_chunks, t_chunk, u1).swapaxes(0, 1)
     g_lpe_c = g_lpe.reshape(n, n_chunks, t_chunk, -1).swapaxes(0, 1)
 
     def chunk_fn(enc_c, pp_, jp_):
-        return _chunk_lp(enc_c, pp_, jp_, labels, blank)
+        return _chunk_lp(enc_c, pp_, jp_, labels, blank, cdt)
 
     def body(carry, xs):
         d_pp_acc, d_jp_acc = carry
@@ -194,7 +292,9 @@ def _fused_bwd(blank, t_chunk, res, g):
     d_enc = d_enc_chunks.swapaxes(0, 1).reshape(n, t, h)[:, :t_orig]
 
     # pred_out grad: through the pred projection
-    _, pp_vjp = jax.vjp(lambda po, jp_: _pred_proj(po, jp_), pred_out32, jp)
+    _, pp_vjp = jax.vjp(
+        lambda po, jp_: _pred_proj(po, jp_, cdt), pred_out32, jp
+    )
     d_pred, d_jp2 = pp_vjp(d_pp)
     d_jp = jax.tree_util.tree_map(jnp.add, d_jp, d_jp2)
 

@@ -1,0 +1,424 @@
+"""Fused RNN-T joint log-prob kernels (flash-attention-style).
+
+The fused loss (ops/fused_loss.py) reduces each joint-logits chunk
+[N,Tc,U1,V] to lp_blank/lp_emit immediately — but XLA still round-trips
+the chunk's `hidden` [.,J] and `logits` [.,V] tensors through HBM
+(hundreds of MB per step at the flagship shape; measured bandwidth-bound
+at ~50% MXU peak, and the backward pays it ~3x). These kernels keep the
+whole tile pipeline in VMEM:
+
+- forward: per (n, T-block) tile, hidden = tanh(enc_proj + pred_proj)
+  and logits = hidden @ W_out are computed and reduced to the DP inputs
+  (logsumexp, blank column, label gather) without ever leaving VMEM.
+  W_out (bf16, 4 MB at J=1024/V=2048) is resident for the whole grid.
+- backward: recomputes the tile, forms dlogits from the occupancy
+  cotangents (g_lpb/g_lpe) in VMEM, and accumulates ALL weight grads in
+  VMEM scratch across the grid: dW_out [J,V] f32 (8 MB) and db_out
+  stream out once at the last grid step; d_pred_proj accumulates per-n.
+  Only the small [.,J] / [.,U1] arrays ever hit HBM.
+
+Layout strategy: Mosaic rejects lane<->sublane shape casts, so nothing
+is ever reshaped in-kernel. The (t, u) lattice rows are laid out
+row-major: per-row vectors (cotangents, labels, the lp outputs) travel
+as [N, T*Up, 1] arrays, and the t<->row / u<->row expansions and
+reductions run as exact 0/1 selector matmuls built from iota compares
+(rows = sel_t^T @ enc + sel_u^T @ pred; d_enc = sel_t @ d_hidden). The
+U axis is padded to a multiple of 8; padded rows carry label -1
+(matches nothing) and zero cotangents, contributing exactly nothing.
+
+Role: the memory plan of the reference's warp_rnnt extern
+(models.py:345-359 materializes the full lattice), redesigned for TPU
+VMEM. The label gather runs as an iota-compare masked reduce — TPU has
+no fast lane gather, but a [.,V] compare+select+sum is one VPU sweep.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# T rows per tile: BT*Up matmul rows (384 at padded U1=48) keeps the
+# MXU fed; the tile's hidden/logits temporaries + the resident W_out
+# (bf16) and the backward's dW accumulator (f32) must fit ~16 MB VMEM.
+_BT = 8
+
+
+def _n_slices(r: int) -> int:
+    """Backward row-slices per tile: bound the live [rows, V]
+    temporaries to <=96 rows regardless of the label length (VMEM must
+    hold them next to the resident W_out / dW blocks)."""
+    for n in (1, 2, 4, 8):
+        if r % n == 0 and r // n <= 96:
+            return n
+    return 8
+
+
+def _selectors(bt: int, up: int):
+    """Exact 0/1 matrices mapping lattice rows (row-major t*Up+u) to
+    their t (sel_t [bt, R]) and u (sel_u [up, R]) coordinates."""
+    r = bt * up
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (bt, r), 1) // up
+    sel_t = (row_t == jax.lax.broadcasted_iota(jnp.int32, (bt, r), 0))
+    row_u = jax.lax.broadcasted_iota(jnp.int32, (up, r), 1) % up
+    sel_u = (row_u == jax.lax.broadcasted_iota(jnp.int32, (up, r), 0))
+    return sel_t.astype(jnp.float32), sel_u.astype(jnp.float32)
+
+
+def _tile_rows(encp_ref, predp_ref, sel_t, sel_u):
+    """Row-expand the tile: [R, J] = sel_t^T @ enc + sel_u^T @ pred."""
+    enc_rows = jax.lax.dot_general(
+        sel_t, encp_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pred_rows = jax.lax.dot_general(
+        sel_u, predp_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.tanh(enc_rows + pred_rows)
+
+
+def _joint_lp_fwd_kernel(encp_ref, predp_ref, labels_ref, wout_ref, bout_ref,
+                         lpb_ref, lpe_ref, *, blank: int):
+    bt = encp_ref.shape[1]
+    up = predp_ref.shape[1]
+    v = wout_ref.shape[1]
+    sel_t, sel_u = _selectors(bt, up)
+    h2 = _tile_rows(encp_ref, predp_ref, sel_t, sel_u)      # [R, J]
+    logits = (
+        jnp.dot(h2.astype(wout_ref.dtype), wout_ref[:],
+                preferred_element_type=jnp.float32)
+        + bout_ref[0]
+    )                                                       # [R, V]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    r = bt * up
+    iota = jax.lax.broadcasted_iota(jnp.int32, (r, v), 1)
+    blank_col = jnp.sum(
+        jnp.where(iota == blank, logits, 0.0), axis=-1, keepdims=True
+    )
+    lpb_ref[0] = blank_col - lse                            # [R, 1]
+    lab = labels_ref[0]                                     # [R, 1]
+    emit = jnp.sum(
+        jnp.where(iota == lab, logits, 0.0), axis=-1, keepdims=True
+    )
+    lpe_ref[0] = emit - lse
+
+
+def _joint_dx_kernel(encp_ref, predp_ref, labels_ref, wout_ref, bout_ref,
+                     glpb_ref, glpe_ref,
+                     dencp_ref, dpredp_ref, lse_ref, *, blank: int):
+    """Backward part 1: d_enc_proj / d_pred_proj (needs the full-V
+    contraction dlogits @ W_out^T, so W_out stays whole) plus the row
+    logsumexp, which part 2 consumes to softmax V-chunks locally.
+    d_pred accumulates directly into its (per-n constant, consecutively
+    revisited) output block."""
+    t_id = pl.program_id(1)
+    bt = encp_ref.shape[1]
+    up = predp_ref.shape[1]
+    v = wout_ref.shape[1]
+
+    @pl.when(t_id == 0)
+    def _():
+        dpredp_ref[0] = jnp.zeros(dpredp_ref.shape[1:], dpredp_ref.dtype)
+
+    sel_t, sel_u = _selectors(bt, up)
+    r = bt * up
+    n_sl = _n_slices(r)
+    half = r // n_sl
+    dencp_acc = jnp.zeros((bt, encp_ref.shape[2]), jnp.float32)
+    for sidx in range(n_sl):
+        sl = slice(sidx * half, (sidx + 1) * half)
+        st, su = sel_t[:, sl], sel_u[:, sl]
+        h2 = jnp.tanh(
+            jax.lax.dot_general(
+                st, encp_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                su, predp_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )                                                   # [half, J]
+        logits = (
+            jnp.dot(h2.astype(wout_ref.dtype), wout_ref[:],
+                    preferred_element_type=jnp.float32)
+            + bout_ref[0]
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        lse = m + jnp.log(
+            jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
+        )
+        lse_ref[0, sl] = lse
+        p = jnp.exp(logits - lse)                           # [half, V]
+
+        glpb = glpb_ref[0, sl]                              # [half, 1]
+        glpe = glpe_ref[0, sl]                              # 0 on pads
+        rowg = glpb + glpe
+        lab = labels_ref[0, sl]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (half, v), 1)
+        dlogits = (
+            jnp.where(iota == blank, glpb, 0.0)
+            + jnp.where(iota == lab, glpe, 0.0)
+            - p * rowg
+        )
+        dh2 = jax.lax.dot_general(
+            dlogits.astype(wout_ref.dtype), wout_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 - h2 * h2)
+        dencp_acc = dencp_acc + jax.lax.dot_general(
+            st, dh2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dpredp_ref[0] += jax.lax.dot_general(
+            su, dh2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dencp_ref[0] = dencp_acc
+
+
+def _joint_dw_kernel(encp_ref, predp_ref, labels_ref, woutc_ref, boutc_ref,
+                     glpb_ref, glpe_ref, lse_ref,
+                     dwc_ref, dbc_ref, *, blank: int, vc: int):
+    """Backward part 2: dW_out / db_out over one V-chunk. The V-chunk
+    grid axis is OUTERMOST, so each chunk's [J, VC] output block stays
+    VMEM-resident across its whole (n, t) sweep (consecutive revisits)
+    and flushes once — 4 MB instead of the full 8 MB dW next to the
+    rest. Chunk softmax uses the row lse from part 1."""
+    q = pl.program_id(0)
+    n_id = pl.program_id(1)
+    t_id = pl.program_id(2)
+    bt = encp_ref.shape[1]
+    up = predp_ref.shape[1]
+
+    @pl.when((n_id == 0) & (t_id == 0))
+    def _():
+        dwc_ref[:] = jnp.zeros(dwc_ref.shape, dwc_ref.dtype)
+        dbc_ref[:] = jnp.zeros(dbc_ref.shape, dbc_ref.dtype)
+
+    sel_t, sel_u = _selectors(bt, up)
+    r = bt * up
+    n_sl = _n_slices(r)
+    half = r // n_sl
+    base = q * vc
+    for sidx in range(n_sl):
+        sl = slice(sidx * half, (sidx + 1) * half)
+        st, su = sel_t[:, sl], sel_u[:, sl]
+        h2 = jnp.tanh(
+            jax.lax.dot_general(
+                st, encp_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                su, predp_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )                                                   # [half, J]
+        logits_c = (
+            jnp.dot(h2.astype(woutc_ref.dtype), woutc_ref[:],
+                    preferred_element_type=jnp.float32)
+            + boutc_ref[0]
+        )                                                   # [half, VC]
+        p_c = jnp.exp(logits_c - lse_ref[0, sl])
+
+        glpb = glpb_ref[0, sl]
+        glpe = glpe_ref[0, sl]
+        rowg = glpb + glpe
+        lab = labels_ref[0, sl]
+        iota = base + jax.lax.broadcasted_iota(jnp.int32, (half, vc), 1)
+        dlogits_c = (
+            jnp.where(iota == blank, glpb, 0.0)
+            + jnp.where(iota == lab, glpe, 0.0)
+            - p_c * rowg
+        )
+        dwc_ref[:] += jax.lax.dot_general(
+            h2.astype(woutc_ref.dtype), dlogits_c.astype(woutc_ref.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dbc_ref[:] += jnp.sum(dlogits_c, axis=0, keepdims=True)
+
+
+def _pad_axis1(x, mult):
+    pad = (-x.shape[1]) % mult
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x
+
+
+def _prep(enc_proj, pred_proj, labels):
+    """Pad T to _BT and U to a multiple of 8. Labels become per-tile
+    lattice ROWS [N, _BT*Up, 1] (row-major (t,u), same for every tile;
+    -1 padding matches no vocab id)."""
+    n, t0, _ = enc_proj.shape
+    u1 = pred_proj.shape[1]
+    up = u1 + ((-u1) % 8)
+    enc_p = _pad_axis1(enc_proj.astype(jnp.float32), _BT)
+    pred_p = _pad_axis1(pred_proj.astype(jnp.float32), 8)
+    lab = jnp.full((n, up), -1, jnp.int32)
+    lab = lab.at[:, : labels.shape[1]].set(labels.astype(jnp.int32))
+    lab_rows = jnp.tile(lab, (1, _BT))[:, :, None]      # [N, BT*Up, 1]
+    return enc_p, pred_p, lab_rows, t0, u1, up
+
+
+def _rows_spec(up):
+    return pl.BlockSpec((1, _BT * up, 1), lambda i, k: (i, k, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "interpret", "w_dtype"))
+def joint_lp_fwd_pallas(enc_proj, pred_proj, w_out, b_out, labels,
+                        blank: int = 0, *, interpret: bool = False,
+                        w_dtype=jnp.bfloat16):
+    """enc_proj [N,T,J] f32, pred_proj [N,U1,J] f32, w_out [J,V], b_out
+    [V], labels [N,U] int32 (U == U1-1).
+    Returns (lp_blank [N,T,U1], lp_emit [N,T,U])."""
+    n, _, j = enc_proj.shape
+    v = w_out.shape[1]
+    enc_p, pred_p, lab_rows, t0, u1, up = _prep(enc_proj, pred_proj, labels)
+    t = enc_p.shape[1]
+    nt = t // _BT
+
+    lpb, lpe = pl.pallas_call(
+        functools.partial(_joint_lp_fwd_kernel, blank=blank),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, _BT, j), lambda i, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, up, j), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BT * up, 1), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, v), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, v), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(_rows_spec(up), _rows_spec(up)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t * up, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, t * up, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        enc_p,
+        pred_p,
+        lab_rows,
+        w_out.astype(w_dtype),
+        b_out.reshape(1, v).astype(jnp.float32),
+    )
+    lpb = lpb.reshape(n, t, up)[:, :t0, :u1]
+    lpe = lpe.reshape(n, t, up)[:, :t0, : u1 - 1]
+    return lpb, lpe
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "interpret", "w_dtype"))
+def joint_lp_bwd_pallas(enc_proj, pred_proj, w_out, b_out, labels,
+                        g_lpb, g_lpe, blank: int = 0, *,
+                        interpret: bool = False, w_dtype=jnp.bfloat16):
+    """Cotangents of joint_lp_fwd_pallas w.r.t. (enc_proj, pred_proj,
+    w_out, b_out). g_lpb [N,T,U1], g_lpe [N,T,U]."""
+    n, _, j = enc_proj.shape
+    v = w_out.shape[1]
+    enc_p, pred_p, lab_rows, t0, u1, up = _prep(enc_proj, pred_proj, labels)
+    t = enc_p.shape[1]
+    nt = t // _BT
+
+    def rows_g(g):
+        g = g.astype(jnp.float32)
+        g = jnp.pad(g, ((0, 0), (0, t - g.shape[1]), (0, up - g.shape[2])))
+        return g.reshape(n, t * up, 1)
+
+    wq = w_out.astype(w_dtype)
+    bq = b_out.reshape(1, v).astype(jnp.float32)
+    gb = rows_g(g_lpb)
+    ge = rows_g(g_lpe)
+
+    dencp, dpredp, lse_rows = pl.pallas_call(
+        functools.partial(_joint_dx_kernel, blank=blank),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, _BT, j), lambda i, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, up, j), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BT * up, 1), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, v), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, v), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _rows_spec(up),
+            _rows_spec(up),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _BT, j), lambda i, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, up, j), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _rows_spec(up),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, t, j), jnp.float32),
+            jax.ShapeDtypeStruct((n, up, j), jnp.float32),
+            jax.ShapeDtypeStruct((n, t * up, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(enc_p, pred_p, lab_rows, wq, bq, gb, ge)
+
+    # dW/db over V-chunks; the chunk axis is outermost so each [J, VC]
+    # output block accumulates VMEM-resident across its (n, t) sweep
+    vc = v if v % 1024 else 1024
+    nv = v // vc
+    dwout, dbout = pl.pallas_call(
+        functools.partial(_joint_dw_kernel, blank=blank, vc=vc),
+        grid=(nv, n, nt),
+        in_specs=[
+            pl.BlockSpec((1, _BT, j), lambda q, i, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, up, j), lambda q, i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BT * up, 1), lambda q, i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((j, vc), lambda q, i, k: (0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vc), lambda q, i, k: (0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BT * up, 1), lambda q, i, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BT * up, 1), lambda q, i, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BT * up, 1), lambda q, i, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((j, vc), lambda q, i, k: (0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vc), lambda q, i, k: (0, q),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((j, v), jnp.float32),
+            jax.ShapeDtypeStruct((1, v), jnp.float32),
+        ),
+        interpret=interpret,
+    )(enc_p, pred_p, lab_rows, wq, bq, gb, ge, lse_rows)
+
+    return (
+        dencp[:, :t0],
+        dpredp[:, :u1],
+        dwout,
+        dbout.reshape(v),
+    )

@@ -13,8 +13,9 @@ buffering. The gate pointwise math fuses behind the MXU matmul — the
 role haste's CUDA kernels play in the reference (custom_rnn.py:25-44).
 
 Layout contract matches ops/rnn.py (kernel [I,4H], gates i,g,f,o), so
-this is a drop-in inference/encode fast path; training keeps the scan
-path (autodiff).
+this is a drop-in fast path for inference/encode AND training: the
+training section below pairs the fused forward with a reverse-time
+backward kernel behind a custom_vjp (lstm_train_core).
 
 Measured on TPU v5e at the flagship shape (H=1024, f32 in/out, bf16 R):
 2.1-3.5x over the scan cell for N<=128, T>=100 (scripts/bench_pallas.py).

@@ -197,6 +197,9 @@ def make_train_step(
                 per_seq = rnnt_loss_fused(
                     enc_out, pred_out, joint_params_from_flax(params["joint"]),
                     y, flens_red, yl, cfg.blank, loss_cfg.t_chunk,
+                    # joint matmul inputs follow the model's compute
+                    # policy (f32 accumulation + f32 DP inside)
+                    cfg.compute_dtype,
                 )
                 if loss_cfg.div_by_len:
                     per_seq = per_seq / (yl.astype(per_seq.dtype) + 1e-5)

@@ -94,6 +94,19 @@ def main():
             )[0]),
             x,
         )
+
+        from libreasr_tpu.ops.pallas.lstm import lstm_pack_train_pallas
+
+        timed(
+            "pallas LSTM train fwd+bwd (TPU)",
+            jax.jit(lambda xx: jax.grad(
+                lambda z: jnp.sum(lstm_pack_train_pallas(
+                    z, (jnp.zeros((n, h)), jnp.zeros((n, h))), params, None,
+                    compute_dtype=jnp.bfloat16,
+                )[0])
+            )(xx)),
+            x,
+        )
     print("all kernels ok")
 
 

@@ -66,3 +66,56 @@ def test_fused_jit(rng):
         lambda e, p, j: rnnt_loss_fused(e, p, j, labels, fl, yl, 0, 5).mean()
     )
     assert np.isfinite(float(f(enc, pred, jp)))
+
+
+def test_fused_bf16_matmuls_close_and_grad_aligned(rng):
+    """compute_dtype=bfloat16 rounds only the joint matmul INPUTS
+    (accumulation and the DP stay f32): losses stay close and gradients
+    stay directionally aligned with the f32 path — the mixed-precision
+    contract the bf16 training policy relies on."""
+    enc, pred, jp, labels, fl, yl = make_inputs(rng)
+
+    f32 = rnnt_loss_fused(enc, pred, jp, labels, fl, yl, 0, 4)
+    b16 = rnnt_loss_fused(enc, pred, jp, labels, fl, yl, 0, 4, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
+                               rtol=5e-2, atol=5e-2)
+
+    def loss(cdt):
+        def go(e, p, j):
+            return jnp.sum(rnnt_loss_fused(e, p, j, labels, fl, yl, 0, 4, cdt))
+
+        return jax.grad(go, argnums=(0, 1, 2))(enc, pred, jp)
+
+    g32 = jax.tree_util.tree_leaves(loss(None))
+    g16 = jax.tree_util.tree_leaves(loss(jnp.bfloat16))
+    for a, b in zip(g32, g16):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom > 1e-12:
+            cos = float(np.dot(a, b) / denom)
+            assert cos > 0.99, cos
+
+
+def test_pallas_joint_matches_xla(rng, monkeypatch):
+    """The fused Pallas joint kernels (ops/pallas/joint_lp.py), forced on
+    CPU in interpret mode with f32 weights: loss and all gradients must
+    match the XLA chunked path exactly (same math, no lattice in HBM)."""
+    enc, pred, jp, labels, fl, yl = make_inputs(rng)
+
+    def run():
+        def go(e, p, j):
+            return jnp.sum(rnnt_loss_fused(e, p, j, labels, fl, yl, 0, 4))
+
+        val, grads = jax.value_and_grad(go, argnums=(0, 1, 2))(enc, pred, jp)
+        return val, grads
+
+    v_x, g_x = run()
+    monkeypatch.setenv("LIBREASR_FORCE_PALLAS", "1")
+    v_p, g_p = run()
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-6)
+    # dW accumulates tile-by-tile in the kernel vs one big sum in XLA —
+    # reassociation noise at float-epsilon scale
+    for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                    jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
