@@ -73,12 +73,23 @@ class RNNLayer(nn.Module):
             os.environ.get("LIBREASR_FORCE_PALLAS") == "1"
         )
 
+    def _tiles_ok(self) -> bool:
+        # the kernels slice gate lanes as v[:, k*H:(k+1)*H]; on hardware
+        # H must be lane-aligned (128) or Mosaic can mis-tile / fail to
+        # compile — fall back to the scan path for odd widths. Interpret
+        # mode (forced-CI) has no lane constraints.
+        if jax.default_backend() != "tpu":
+            return True
+        return self.hidden_sz % 128 == 0
+
     def _pallas_eligible(self, cell_params, x, train: bool) -> bool:
         if not self.use_pallas or train:
             return False
         if self.rnn_type != "LSTM" or self.length_mode != "pack":
             return False
         if self.zoneout != 0.0 or x.shape[1] < 16:
+            return False
+        if not self._tiles_ok():
             return False
         # int8-quantized cells dispatch to the int8 kernel variant
         # inside lstm_pack_pallas — eligible too
@@ -92,6 +103,19 @@ class RNNLayer(nn.Module):
         if self.zoneout != 0.0 or self.dropconnect != 0.0:
             return False
         if x.shape[1] < 16:
+            return False
+        if not self._tiles_ok():
+            return False
+        # R residency dtype follows the compute policy (no silent bf16
+        # cast for f32 training): with no/an f32 policy R stays f32 in
+        # VMEM, which only fits the budget at smaller widths — larger
+        # f32-policy models keep the (numerically f32) scan path
+        r_itemsize = (
+            jnp.dtype(self.compute_dtype).itemsize
+            if self.compute_dtype is not None
+            else 4
+        )
+        if self.hidden_sz * 4 * self.hidden_sz * r_itemsize > 9 * 2**20:
             return False
         from ..ops.quant import QuantizedTensor
 

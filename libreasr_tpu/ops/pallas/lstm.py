@@ -591,12 +591,13 @@ def lstm_pack_train_pallas(
             x, params.kernel, preferred_element_type=jnp.float32
         ) + params.bias
         r = params.recurrent_kernel
-    if not interpret and r.dtype == jnp.float32:
-        # an f32 R at H=1024 is 16 MB — over the VMEM budget next to the
-        # streamed blocks. bf16 residency (f32 accumulation) matches the
-        # inference kernel and the bf16 training policy; the cast sits
-        # outside the custom_vjp so dR accumulates back into f32 params.
-        r = r.astype(jnp.bfloat16)
+    # R residency dtype follows the training compute policy: a bf16
+    # policy gets bf16 R in VMEM (f32 accumulation; the cast sits
+    # outside the custom_vjp so dR accumulates back into f32 params).
+    # With no policy (f32 training) R stays f32 — eligibility
+    # (models/modules.py:_pallas_train_eligible) only routes here when
+    # the f32 R fits the VMEM budget, so f32-policy runs keep f32
+    # recurrent numerics instead of silently training in bf16.
     y, yc = lstm_train_core(wx, r, h0, c0, interpret)
     if lengths is None:
         t_last = x.shape[1] - 1

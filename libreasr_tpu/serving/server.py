@@ -192,10 +192,14 @@ class BatchStepper:
         # letting ~half the active streams share every step.
         coalesce_s = eng.scfg.chunk_ms * eng.scfg.n_buffer / 2000.0
         next_dispatch = 0.0
+        # chunks buffered but deferred by the pacing window: the loop
+        # must wake at the pacing deadline for them even if no further
+        # message ever arrives (a paused stream must not stall)
+        deferred = False
         while True:
             with self.cv:
                 timeout = 0.25
-                if pending is not None:
+                if pending is not None or deferred:
                     # wake by the pacing deadline to collect/dispatch
                     timeout = max(
                         0.001, next_dispatch - time.perf_counter()
@@ -206,7 +210,7 @@ class BatchStepper:
                 if self._stop:
                     return
                 staging, self._staging = self._staging, []
-            if not staging and pending is None:
+            if not staging and pending is None and not deferred:
                 continue
             # current-generation items only (per-slot order is preserved:
             # a connection's pcm precedes its finish precedes its close)
@@ -229,7 +233,7 @@ class BatchStepper:
                     pending = p
                     if dbg:
                         print(
-                            f"[stepper] dispatch n={int(p[2].sum())} "
+                            f"[stepper] dispatch n={int(p[1].sum())} "
                             f"disp={1e3*(td-t0):.1f}ms "
                             f"coll={1e3*(time.perf_counter()-td):.1f}ms",
                             flush=True,
@@ -260,6 +264,9 @@ class BatchStepper:
                     finished_now.append((slot, tail))
                 elif kind == "close":
                     eng.close_slot(slot)
+            # anything still buffered was deferred by pacing — make the
+            # next wait wake at the pacing deadline to dispatch it
+            deferred = bool(eng.ready_slots())
             if stepped and self.timings is not None:
                 self.timings.record("stream_step", time.perf_counter() - t0)
             with self.cv:

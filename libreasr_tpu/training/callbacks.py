@@ -42,10 +42,16 @@ class TrainLogger:
         if step % self.every != 0 or self.writer is None:
             return
         loss = float(metrics["loss"])
-        # EMA over sampled (logged) losses; alpha chosen for the
-        # sampling cadence rather than per-step
+        # EMA over sampled (logged) losses. The reference smooths with
+        # per-step decay 0.98 (fastai smooth_loss); sampling every N
+        # steps, decay 0.98**N per sample gives the same time constant,
+        # so train/smooth_loss curves stay comparable across logging
+        # intervals (and to reference runs)
+        decay = 0.98 ** self.every
         self._ema_loss = (
-            loss if self._ema_loss is None else 0.9 * self._ema_loss + 0.1 * loss
+            loss
+            if self._ema_loss is None
+            else decay * self._ema_loss + (1.0 - decay) * loss
         )
         w = self.writer
         w.add_scalar("train/loss", loss, step)

@@ -277,3 +277,66 @@ def test_pallas_single_step(rng):
     y_ref, _ = rnn_ops.lstm_scan(x, (h0, c0), params)
     y, _ = lstm_forward_pallas(x, (h0, c0), params, interpret=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-2, atol=2e-2)
+
+
+def test_eligibility_predicates(monkeypatch):
+    """Hardware gating: non-lane-aligned widths and f32-policy models
+    whose f32 R exceeds the VMEM budget must fall back to the scan path
+    on TPU (ADVICE r2: alignment + silent-bf16 findings)."""
+    from libreasr_tpu.models.modules import RNNLayer
+
+    def layer(h, **kw):
+        return RNNLayer(input_sz=h, hidden_sz=h, use_pallas=True,
+                        use_pallas_train=True, **kw)
+
+    params = rnn_ops.init_lstm(jax.random.PRNGKey(0), 128, 128)
+    x = jnp.zeros((2, 32, 128))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # aligned + bf16 policy: both paths eligible (flagship config)
+    l_bf16 = layer(1024, compute_dtype=jnp.bfloat16)
+    assert l_bf16._pallas_eligible(params, x, train=False)
+    assert l_bf16._pallas_train_eligible(params, x, train=True)
+    # f32 policy at flagship width: f32 R (16 MB) over budget -> scan
+    l_f32 = layer(1024, compute_dtype=None)
+    assert l_f32._pallas_eligible(params, x, train=False)  # eval still ok
+    assert not l_f32._pallas_train_eligible(params, x, train=True)
+    # f32 policy at a small width fits
+    assert layer(256, compute_dtype=None)._pallas_train_eligible(
+        params, x, train=True
+    )
+    # non-lane-aligned width: ineligible on hardware, both modes
+    l_odd = layer(200, compute_dtype=jnp.bfloat16)
+    assert not l_odd._pallas_eligible(params, x, train=False)
+    assert not l_odd._pallas_train_eligible(params, x, train=True)
+    # off hardware (interpret/forced CI) alignment does not bind
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    monkeypatch.setenv("LIBREASR_FORCE_PALLAS", "1")
+    assert l_odd._pallas_eligible(params, x, train=False)
+
+
+def test_train_policy_r_dtype(monkeypatch):
+    """lstm_pack_train_pallas must hand the recurrence core bf16 R only
+    under a bf16 compute policy; with no policy R stays f32 (no silent
+    bf16 recurrent-weight training)."""
+    from libreasr_tpu.ops.pallas import lstm as pallas_lstm
+
+    seen = {}
+    real_core = pallas_lstm.lstm_train_core
+
+    def spy(wx, r, h0, c0, interpret):
+        seen["r_dtype"] = r.dtype
+        return real_core(wx, r, h0, c0, interpret)
+
+    monkeypatch.setattr(pallas_lstm, "lstm_train_core", spy)
+    n, t, i, h = 2, 16, 8, 8
+    params = rnn_ops.init_lstm(jax.random.PRNGKey(3), i, h)
+    x = jnp.zeros((n, t, i))
+    st = (jnp.zeros((n, h)), jnp.zeros((n, h)))
+
+    pallas_lstm.lstm_pack_train_pallas(x, st, params, None, interpret=True)
+    assert seen["r_dtype"] == jnp.float32
+    pallas_lstm.lstm_pack_train_pallas(
+        x, st, params, None, compute_dtype=jnp.bfloat16, interpret=True
+    )
+    assert seen["r_dtype"] == jnp.bfloat16
