@@ -73,7 +73,46 @@ def read_audio(path: str, return_md5: bool = False):
             return (pcm, sr, None) if return_md5 else (pcm, sr)
         pcm, sr = read_wav_py(path)
         return (pcm, sr, None) if return_md5 else (pcm, sr)
+    if ext == ".mp3":
+        # decoded by the HOST codec library (libmpg123) behind the native
+        # lib — the same architecture as the reference's torchaudio ->
+        # libsox -> system MPEG codec path (transforms.py:68)
+        if lib is None:
+            raise AudioReadError("native audio lib unavailable for mp3")
+        pcm, sr, _ = _from_native(lib, lib.la_read_mp3, path)
+        return (pcm, sr, None) if return_md5 else (pcm, sr)
     raise AudioReadError(f"unsupported audio format: {path}")
+
+
+def write_mp3(path: str, pcm: np.ndarray, sr: int, kbps: int = 64) -> None:
+    """Encode mono float32 pcm to mp3 via the host's libmp3lame (used
+    by convert roundtrips and fixture synthesis in tests)."""
+    lib = audio_lib()
+    if lib is None:
+        raise AudioReadError("native audio lib unavailable")
+    row = np.ascontiguousarray(np.asarray(pcm, np.float32).reshape(-1))
+    rc = lib.la_write_mp3(
+        path.encode(), row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(row), int(sr), int(kbps),
+    )
+    if rc != 0:
+        raise AudioReadError(f"mp3 encode failed rc={rc} (host lame missing?)")
+
+
+def have_mp3() -> bool:
+    """True when the host codec libraries back the mp3 path."""
+    lib = audio_lib()
+    if lib is None:
+        return False
+    import ctypes as _c
+
+    for so in ("libmpg123.so.0", "libmpg123.so"):
+        try:
+            _c.CDLL(so)
+            return True
+        except OSError:
+            continue
+    return False
 
 
 def verify_flac_md5(path: str) -> bool:

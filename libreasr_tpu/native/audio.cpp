@@ -23,6 +23,8 @@
 #include <cmath>
 #include <vector>
 
+#include <dlfcn.h>
+
 extern "C" {
 
 void la_free(float* p) { free(p); }
@@ -469,6 +471,198 @@ int la_resample(const float* in, int64_t n, int sr_in, int sr_out, float** out,
   *out = buf;
   *n_out = m;
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// MP3 (MPEG-1/2 Layer III) via the HOST codec library (libmpg123),
+// bound at runtime with dlopen. This mirrors the reference's
+// architecture exactly: it reads mp3 through torchaudio -> libsox ->
+// the system's MPEG codec (transforms.py:68; docker installs sox) —
+// compressed-audio decode is delegated to the battle-tested host codec,
+// everything downstream (resample, mel, framing) is ours. dlopen keeps
+// the build dependency-free: hosts without libmpg123 get error -20 and
+// the Python layer reports a clear message.
+// ---------------------------------------------------------------------------
+
+// mpg123 ABI constants (stable public API, verified against the host
+// library at runtime by the test suite's encode/decode roundtrip)
+static const int LA_MPG123_ENC_FLOAT_32 = 0x200;
+static const int LA_MPG123_DONE = -12;
+static const int LA_MPG123_NEW_FORMAT = -11;
+
+struct LaMpg123 {
+  void* dl;
+  int (*init_)(void);
+  void* (*new_)(const char*, int*);
+  int (*format_none_)(void*);
+  int (*format_)(void*, long, int, int);
+  int (*open_)(void*, const char*);
+  int (*getformat_)(void*, long*, int*, int*);
+  int (*read_)(void*, unsigned char*, size_t, size_t*);
+  int (*close_)(void*);
+  int (*delete_)(void*);
+};
+
+static LaMpg123* la_mpg123(void) {
+  static LaMpg123 api;
+  static int tried = 0;
+  if (!tried) {
+    tried = 1;
+    api.dl = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!api.dl) api.dl = dlopen("libmpg123.so", RTLD_NOW | RTLD_LOCAL);
+    if (api.dl) {
+      api.init_ = (int (*)(void))dlsym(api.dl, "mpg123_init");
+      api.new_ = (void* (*)(const char*, int*))dlsym(api.dl, "mpg123_new");
+      api.format_none_ = (int (*)(void*))dlsym(api.dl, "mpg123_format_none");
+      api.format_ = (int (*)(void*, long, int, int))dlsym(api.dl, "mpg123_format");
+      api.open_ = (int (*)(void*, const char*))dlsym(api.dl, "mpg123_open");
+      api.getformat_ =
+          (int (*)(void*, long*, int*, int*))dlsym(api.dl, "mpg123_getformat");
+      api.read_ = (int (*)(void*, unsigned char*, size_t, size_t*))dlsym(
+          api.dl, "mpg123_read");
+      api.close_ = (int (*)(void*))dlsym(api.dl, "mpg123_close");
+      api.delete_ = (int (*)(void*))dlsym(api.dl, "mpg123_delete");
+      if (api.init_ && api.new_ && api.format_none_ && api.format_ &&
+          api.open_ && api.getformat_ && api.read_ && api.close_ &&
+          api.delete_) {
+        api.init_();
+      } else {
+        dlclose(api.dl);
+        api.dl = nullptr;
+      }
+    }
+  }
+  return api.dl ? &api : nullptr;
+}
+
+int la_read_mp3(const char* path, float** out, int64_t* n_out, int* sr_out,
+                int* ch_out) {
+  LaMpg123* m = la_mpg123();
+  if (!m) return -20;  // host has no libmpg123
+  int err = 0;
+  void* h = m->new_(nullptr, &err);
+  if (!h) return -21;
+  // force float32 output at every MPEG rate (mono or stereo = 3)
+  m->format_none_(h);
+  static const long kRates[] = {8000,  11025, 12000, 16000, 22050,
+                                24000, 32000, 44100, 48000};
+  for (long r : kRates) m->format_(h, r, 3, LA_MPG123_ENC_FLOAT_32);
+  if (m->open_(h, path) != 0) {
+    m->delete_(h);
+    return -22;
+  }
+  long rate = 0;
+  int ch = 0, enc = 0;
+  if (m->getformat_(h, &rate, &ch, &enc) != 0 ||
+      enc != LA_MPG123_ENC_FLOAT_32 || ch < 1) {
+    m->close_(h);
+    m->delete_(h);
+    return -23;
+  }
+  std::vector<float> pcm;
+  std::vector<unsigned char> buf(1 << 16);
+  while (true) {
+    size_t done = 0;
+    int rc = m->read_(h, buf.data(), buf.size(), &done);
+    if (done) {
+      const float* f = (const float*)buf.data();
+      pcm.insert(pcm.end(), f, f + done / sizeof(float));
+    }
+    if (rc == LA_MPG123_NEW_FORMAT) {
+      // mid-stream format change: refresh (rate/ch may differ)
+      if (m->getformat_(h, &rate, &ch, &enc) != 0 ||
+          enc != LA_MPG123_ENC_FLOAT_32) {
+        m->close_(h);
+        m->delete_(h);
+        return -24;
+      }
+      continue;
+    }
+    if (rc != 0) break;  // MPG123_DONE or error with no more data
+  }
+  m->close_(h);
+  m->delete_(h);
+  if (pcm.empty()) return -25;
+  float* res = (float*)malloc(pcm.size() * sizeof(float));
+  memcpy(res, pcm.data(), pcm.size() * sizeof(float));
+  *out = res;
+  *n_out = (int64_t)pcm.size() / ch;  // frames
+  *sr_out = (int)rate;
+  *ch_out = ch;
+  return 0;
+}
+
+// mp3 ENCODER via the host's libmp3lame (dlopen, same pattern) — used
+// by scripts/convert.py roundtrips and the test suite to synthesize
+// fixtures; mono s16 input. Returns -20 when lame is absent.
+int la_write_mp3(const char* path, const float* pcm, int64_t n, int sr,
+                 int kbps) {
+  static void* dl = nullptr;
+  static int tried = 0;
+  if (!tried) {
+    tried = 1;
+    dl = dlopen("libmp3lame.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!dl) dl = dlopen("libmp3lame.so", RTLD_NOW | RTLD_LOCAL);
+  }
+  if (!dl) return -20;
+  void* (*init)(void) = (void* (*)(void))dlsym(dl, "lame_init");
+  int (*set_sr)(void*, int) = (int (*)(void*, int))dlsym(dl, "lame_set_in_samplerate");
+  int (*set_ch)(void*, int) = (int (*)(void*, int))dlsym(dl, "lame_set_num_channels");
+  int (*set_br)(void*, int) = (int (*)(void*, int))dlsym(dl, "lame_set_brate");
+  int (*set_mode)(void*, int) = (int (*)(void*, int))dlsym(dl, "lame_set_mode");
+  int (*init_params)(void*) = (int (*)(void*))dlsym(dl, "lame_init_params");
+  int (*encode)(void*, const short*, const short*, int, unsigned char*, int) =
+      (int (*)(void*, const short*, const short*, int, unsigned char*, int))
+          dlsym(dl, "lame_encode_buffer");
+  int (*flush)(void*, unsigned char*, int) =
+      (int (*)(void*, unsigned char*, int))dlsym(dl, "lame_encode_flush");
+  int (*close_)(void*) = (int (*)(void*))dlsym(dl, "lame_close");
+  if (!init || !set_sr || !set_ch || !set_br || !set_mode || !init_params ||
+      !encode || !flush || !close_)
+    return -21;
+  void* gf = init();
+  if (!gf) return -22;
+  set_sr(gf, sr);
+  set_ch(gf, 1);
+  set_br(gf, kbps > 0 ? kbps : 64);
+  set_mode(gf, 3);  // MONO
+  if (init_params(gf) < 0) {
+    close_(gf);
+    return -23;
+  }
+  std::vector<short> s16(n);
+  for (int64_t i = 0; i < n; i++) {
+    float v = pcm[i] * 32767.0f;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    s16[i] = (short)lrintf(v);
+  }
+  FILE* f = fopen(path, "wb");
+  if (!f) {
+    close_(gf);
+    return -24;
+  }
+  std::vector<unsigned char> obuf(((size_t)n * 5) / 4 + 7200);
+  int64_t pos = 0;
+  int rc = 0;
+  while (pos < n) {
+    int take = (int)((n - pos) < 65536 ? (n - pos) : 65536);
+    int nb = encode(gf, s16.data() + pos, s16.data() + pos, take, obuf.data(),
+                    (int)obuf.size());
+    if (nb < 0) {
+      rc = -25;
+      break;
+    }
+    fwrite(obuf.data(), 1, nb, f);
+    pos += take;
+  }
+  if (rc == 0) {
+    int nb = flush(gf, obuf.data(), (int)obuf.size());
+    if (nb > 0) fwrite(obuf.data(), 1, nb, f);
+  }
+  fclose(f);
+  close_(gf);
+  return rc;
 }
 
 // ---------------------------------------------------------------------------

@@ -15,15 +15,20 @@ whole tile pipeline in VMEM:
   cotangents (g_lpb/g_lpe) in VMEM, and accumulates ALL weight grads in
   VMEM scratch across the grid: dW_out [J,V] f32 (8 MB) and db_out
   stream out once at the last grid step; d_pred_proj accumulates per-n.
-  Only the small [.,J] / [.,U1] arrays ever hit HBM.
+  Only the small [.,J] / [.,Up] arrays ever hit HBM.
 
-Layout strategy: Mosaic rejects lane<->sublane shape casts, so nothing
-is ever reshaped in-kernel. The (t, u) lattice rows are laid out
-row-major: per-row vectors (cotangents, labels, the lp outputs) travel
-as [N, T*Up, 1] arrays, and the t<->row / u<->row expansions and
-reductions run as exact 0/1 selector matmuls built from iota compares
-(rows = sel_t^T @ enc + sel_u^T @ pred; d_enc = sel_t @ d_hidden). The
-U axis is padded to a multiple of 8; padded rows carry label -1
+Layout strategy: every HBM-side array keeps its natural XLA shape —
+enc/pred projections [N,T,J]/[N,Up,J], labels [N,Up], cotangents and lp
+outputs [N,T,Up]. (The first version of these kernels moved lattice
+rows as [N, T*Up, 1] arrays; a trailing dim of 1 pads every element to
+a full 128-lane tile in the TPU tiled layout, so XLA inserted layout-
+conversion copies at every custom-call boundary — measured ~1.5 ms of
+overhead inside the full train step, enough to lose to the XLA chunked
+path it beats standalone.) The (t, u) lattice rows exist ONLY in VMEM:
+Mosaic rejects lane<->sublane shape casts, so the [BT,Up] <-> [R=BT*Up]
+expansions run as exact 0/1 selector matmuls built from iota compares
+(rows = sel_t^T @ enc + sel_u^T @ pred; block = sel_t @ (rows*mask_u)).
+The U axis is padded to a multiple of 8; padded rows carry label -1
 (matches nothing) and zero cotangents, contributing exactly nothing.
 
 Role: the memory plan of the reference's warp_rnnt extern
@@ -59,13 +64,20 @@ def _n_slices(r: int) -> int:
 
 def _selectors(bt: int, up: int):
     """Exact 0/1 matrices mapping lattice rows (row-major t*Up+u) to
-    their t (sel_t [bt, R]) and u (sel_u [up, R]) coordinates."""
+    their t (sel_t [bt, R]) and u (sel_u [up, R]) coordinates, plus the
+    elementwise row->u one-hot mask_u [R, up]."""
     r = bt * up
     row_t = jax.lax.broadcasted_iota(jnp.int32, (bt, r), 1) // up
     sel_t = (row_t == jax.lax.broadcasted_iota(jnp.int32, (bt, r), 0))
     row_u = jax.lax.broadcasted_iota(jnp.int32, (up, r), 1) % up
     sel_u = (row_u == jax.lax.broadcasted_iota(jnp.int32, (up, r), 0))
-    return sel_t.astype(jnp.float32), sel_u.astype(jnp.float32)
+    row_u_col = jax.lax.broadcasted_iota(jnp.int32, (r, up), 0) % up
+    mask_u = (row_u_col == jax.lax.broadcasted_iota(jnp.int32, (r, up), 1))
+    return (
+        sel_t.astype(jnp.float32),
+        sel_u.astype(jnp.float32),
+        mask_u.astype(jnp.float32),
+    )
 
 
 def _tile_rows(encp_ref, predp_ref, sel_t, sel_u):
@@ -83,12 +95,38 @@ def _tile_rows(encp_ref, predp_ref, sel_t, sel_u):
     return jnp.tanh(enc_rows + pred_rows)
 
 
+def _rows_from_block(block, sel_t, mask_u):
+    """[BT, Up] block -> [R, 1] row-major rows: temp = sel_t^T @ block
+    gives temp[r, u] = block[t(r), u]; the one-hot mask_u selects u(r)."""
+    temp = jax.lax.dot_general(
+        sel_t, block,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # [R, Up]
+    return jnp.sum(temp * mask_u, axis=1, keepdims=True)
+
+
+def _block_from_rows(rows, sel_t, mask_u):
+    """[R, 1] rows -> [BT, Up] block: scatter each row's value to its
+    (t, u) cell (exact: sel_t/mask_u are 0/1 with one hit per row)."""
+    return jax.lax.dot_general(
+        sel_t, rows * mask_u,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _lab_rows(labels_ref, mask_u):
+    """Labels block [1, 1, Up] (f32; -1 pads) -> per-row label ids [R, 1]."""
+    return jnp.sum(mask_u * labels_ref[0], axis=1, keepdims=True)
+
+
 def _joint_lp_fwd_kernel(encp_ref, predp_ref, labels_ref, wout_ref, bout_ref,
                          lpb_ref, lpe_ref, *, blank: int):
     bt = encp_ref.shape[1]
     up = predp_ref.shape[1]
     v = wout_ref.shape[1]
-    sel_t, sel_u = _selectors(bt, up)
+    sel_t, sel_u, mask_u = _selectors(bt, up)
     h2 = _tile_rows(encp_ref, predp_ref, sel_t, sel_u)      # [R, J]
     logits = (
         jnp.dot(h2.astype(wout_ref.dtype), wout_ref[:],
@@ -102,12 +140,13 @@ def _joint_lp_fwd_kernel(encp_ref, predp_ref, labels_ref, wout_ref, bout_ref,
     blank_col = jnp.sum(
         jnp.where(iota == blank, logits, 0.0), axis=-1, keepdims=True
     )
-    lpb_ref[0] = blank_col - lse                            # [R, 1]
-    lab = labels_ref[0]                                     # [R, 1]
+    lab = _lab_rows(labels_ref, mask_u)                     # [R, 1] f32
     emit = jnp.sum(
-        jnp.where(iota == lab, logits, 0.0), axis=-1, keepdims=True
+        jnp.where(iota.astype(jnp.float32) == lab, logits, 0.0),
+        axis=-1, keepdims=True,
     )
-    lpe_ref[0] = emit - lse
+    lpb_ref[0] = _block_from_rows(blank_col - lse, sel_t, mask_u)
+    lpe_ref[0] = _block_from_rows(emit - lse, sel_t, mask_u)
 
 
 def _joint_dx_kernel(encp_ref, predp_ref, labels_ref, wout_ref, bout_ref,
@@ -127,11 +166,15 @@ def _joint_dx_kernel(encp_ref, predp_ref, labels_ref, wout_ref, bout_ref,
     def _():
         dpredp_ref[0] = jnp.zeros(dpredp_ref.shape[1:], dpredp_ref.dtype)
 
-    sel_t, sel_u = _selectors(bt, up)
+    sel_t, sel_u, mask_u = _selectors(bt, up)
     r = bt * up
+    glpb_rows = _rows_from_block(glpb_ref[0], sel_t, mask_u)    # [R, 1]
+    glpe_rows = _rows_from_block(glpe_ref[0], sel_t, mask_u)
+    lab_rows = _lab_rows(labels_ref, mask_u)
     n_sl = _n_slices(r)
     half = r // n_sl
     dencp_acc = jnp.zeros((bt, encp_ref.shape[2]), jnp.float32)
+    lse_acc = jnp.zeros((bt, up), jnp.float32)
     for sidx in range(n_sl):
         sl = slice(sidx * half, (sidx + 1) * half)
         st, su = sel_t[:, sl], sel_u[:, sl]
@@ -156,17 +199,18 @@ def _joint_dx_kernel(encp_ref, predp_ref, labels_ref, wout_ref, bout_ref,
         lse = m + jnp.log(
             jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)
         )
-        lse_ref[0, sl] = lse
+        # scatter this slice's lse into the [BT, Up] output block
+        lse_acc = lse_acc + _block_from_rows(lse, st, mask_u[sl])
         p = jnp.exp(logits - lse)                           # [half, V]
 
-        glpb = glpb_ref[0, sl]                              # [half, 1]
-        glpe = glpe_ref[0, sl]                              # 0 on pads
+        glpb = glpb_rows[sl]                                # [half, 1]
+        glpe = glpe_rows[sl]                                # 0 on pads
         rowg = glpb + glpe
-        lab = labels_ref[0, sl]
+        lab = lab_rows[sl]
         iota = jax.lax.broadcasted_iota(jnp.int32, (half, v), 1)
         dlogits = (
             jnp.where(iota == blank, glpb, 0.0)
-            + jnp.where(iota == lab, glpe, 0.0)
+            + jnp.where(iota.astype(jnp.float32) == lab, glpe, 0.0)
             - p * rowg
         )
         dh2 = jax.lax.dot_general(
@@ -185,6 +229,7 @@ def _joint_dx_kernel(encp_ref, predp_ref, labels_ref, wout_ref, bout_ref,
             preferred_element_type=jnp.float32,
         )
     dencp_ref[0] = dencp_acc
+    lse_ref[0] = lse_acc
 
 
 def _joint_dw_kernel(encp_ref, predp_ref, labels_ref, woutc_ref, boutc_ref,
@@ -206,8 +251,12 @@ def _joint_dw_kernel(encp_ref, predp_ref, labels_ref, woutc_ref, boutc_ref,
         dwc_ref[:] = jnp.zeros(dwc_ref.shape, dwc_ref.dtype)
         dbc_ref[:] = jnp.zeros(dbc_ref.shape, dbc_ref.dtype)
 
-    sel_t, sel_u = _selectors(bt, up)
+    sel_t, sel_u, mask_u = _selectors(bt, up)
     r = bt * up
+    glpb_rows = _rows_from_block(glpb_ref[0], sel_t, mask_u)
+    glpe_rows = _rows_from_block(glpe_ref[0], sel_t, mask_u)
+    lse_rows = _rows_from_block(lse_ref[0], sel_t, mask_u)
+    lab_rows = _lab_rows(labels_ref, mask_u)
     n_sl = _n_slices(r)
     half = r // n_sl
     base = q * vc
@@ -231,16 +280,16 @@ def _joint_dw_kernel(encp_ref, predp_ref, labels_ref, woutc_ref, boutc_ref,
                     preferred_element_type=jnp.float32)
             + boutc_ref[0]
         )                                                   # [half, VC]
-        p_c = jnp.exp(logits_c - lse_ref[0, sl])
+        p_c = jnp.exp(logits_c - lse_rows[sl])
 
-        glpb = glpb_ref[0, sl]
-        glpe = glpe_ref[0, sl]
+        glpb = glpb_rows[sl]
+        glpe = glpe_rows[sl]
         rowg = glpb + glpe
-        lab = labels_ref[0, sl]
+        lab = lab_rows[sl]
         iota = base + jax.lax.broadcasted_iota(jnp.int32, (half, vc), 1)
         dlogits_c = (
             jnp.where(iota == blank, glpb, 0.0)
-            + jnp.where(iota == lab, glpe, 0.0)
+            + jnp.where(iota.astype(jnp.float32) == lab, glpe, 0.0)
             - p_c * rowg
         )
         dwc_ref[:] += jax.lax.dot_general(
@@ -259,22 +308,29 @@ def _pad_axis1(x, mult):
 
 
 def _prep(enc_proj, pred_proj, labels):
-    """Pad T to _BT and U to a multiple of 8. Labels become per-tile
-    lattice ROWS [N, _BT*Up, 1] (row-major (t,u), same for every tile;
-    -1 padding matches no vocab id)."""
+    """Pad T to _BT and U to a multiple of 8. Labels stay [N, Up] (f32
+    ids; -1 padding matches no vocab id) — the per-tile row expansion
+    happens in VMEM inside the kernels."""
     n, t0, _ = enc_proj.shape
     u1 = pred_proj.shape[1]
     up = u1 + ((-u1) % 8)
     enc_p = _pad_axis1(enc_proj.astype(jnp.float32), _BT)
     pred_p = _pad_axis1(pred_proj.astype(jnp.float32), 8)
-    lab = jnp.full((n, up), -1, jnp.int32)
-    lab = lab.at[:, : labels.shape[1]].set(labels.astype(jnp.int32))
-    lab_rows = jnp.tile(lab, (1, _BT))[:, :, None]      # [N, BT*Up, 1]
-    return enc_p, pred_p, lab_rows, t0, u1, up
+    lab = jnp.full((n, up), -1.0, jnp.float32)
+    lab = lab.at[:, : labels.shape[1]].set(labels.astype(jnp.float32))
+    # rank-3 [N, 1, Up] so the block's last two dims (1, Up) match the
+    # array dims exactly (Mosaic block tiling rule)
+    return enc_p, pred_p, lab[:, None, :], t0, u1, up
 
 
-def _rows_spec(up):
-    return pl.BlockSpec((1, _BT * up, 1), lambda i, k: (i, k, 0),
+def _lp_spec(up):
+    """[N, T, Up] lattice-shaped arrays, one [1, BT, Up] block per tile."""
+    return pl.BlockSpec((1, _BT, up), lambda i, k: (i, k, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _lab_spec(up):
+    return pl.BlockSpec((1, 1, up), lambda i, k: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -287,7 +343,7 @@ def joint_lp_fwd_pallas(enc_proj, pred_proj, w_out, b_out, labels,
     Returns (lp_blank [N,T,U1], lp_emit [N,T,U])."""
     n, _, j = enc_proj.shape
     v = w_out.shape[1]
-    enc_p, pred_p, lab_rows, t0, u1, up = _prep(enc_proj, pred_proj, labels)
+    enc_p, pred_p, lab, t0, u1, up = _prep(enc_proj, pred_proj, labels)
     t = enc_p.shape[1]
     nt = t // _BT
 
@@ -299,29 +355,26 @@ def joint_lp_fwd_pallas(enc_proj, pred_proj, w_out, b_out, labels,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, up, j), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BT * up, 1), lambda i, k: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _lab_spec(up),
             pl.BlockSpec((j, v), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, v), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(_rows_spec(up), _rows_spec(up)),
+        out_specs=(_lp_spec(up), _lp_spec(up)),
         out_shape=(
-            jax.ShapeDtypeStruct((n, t * up, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, t * up, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, t, up), jnp.float32),
+            jax.ShapeDtypeStruct((n, t, up), jnp.float32),
         ),
         interpret=interpret,
     )(
         enc_p,
         pred_p,
-        lab_rows,
+        lab,
         w_out.astype(w_dtype),
         b_out.reshape(1, v).astype(jnp.float32),
     )
-    lpb = lpb.reshape(n, t, up)[:, :t0, :u1]
-    lpe = lpe.reshape(n, t, up)[:, :t0, : u1 - 1]
-    return lpb, lpe
+    return lpb[:, :t0, :u1], lpe[:, :t0, : u1 - 1]
 
 
 @functools.partial(jax.jit, static_argnames=("blank", "interpret", "w_dtype"))
@@ -332,21 +385,22 @@ def joint_lp_bwd_pallas(enc_proj, pred_proj, w_out, b_out, labels,
     w_out, b_out). g_lpb [N,T,U1], g_lpe [N,T,U]."""
     n, _, j = enc_proj.shape
     v = w_out.shape[1]
-    enc_p, pred_p, lab_rows, t0, u1, up = _prep(enc_proj, pred_proj, labels)
+    enc_p, pred_p, lab, t0, u1, up = _prep(enc_proj, pred_proj, labels)
     t = enc_p.shape[1]
     nt = t // _BT
 
-    def rows_g(g):
+    def pad_g(g):
         g = g.astype(jnp.float32)
-        g = jnp.pad(g, ((0, 0), (0, t - g.shape[1]), (0, up - g.shape[2])))
-        return g.reshape(n, t * up, 1)
+        return jnp.pad(
+            g, ((0, 0), (0, t - g.shape[1]), (0, up - g.shape[2]))
+        )
 
     wq = w_out.astype(w_dtype)
     bq = b_out.reshape(1, v).astype(jnp.float32)
-    gb = rows_g(g_lpb)
-    ge = rows_g(g_lpe)
+    gb = pad_g(g_lpb)
+    ge = pad_g(g_lpe)
 
-    dencp, dpredp, lse_rows = pl.pallas_call(
+    dencp, dpredp, lse_lat = pl.pallas_call(
         functools.partial(_joint_dx_kernel, blank=blank),
         grid=(n, nt),
         in_specs=[
@@ -354,29 +408,28 @@ def joint_lp_bwd_pallas(enc_proj, pred_proj, w_out, b_out, labels,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, up, j), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BT * up, 1), lambda i, k: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _lab_spec(up),
             pl.BlockSpec((j, v), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, v), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            _rows_spec(up),
-            _rows_spec(up),
+            _lp_spec(up),
+            _lp_spec(up),
         ],
         out_specs=(
             pl.BlockSpec((1, _BT, j), lambda i, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, up, j), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            _rows_spec(up),
+            _lp_spec(up),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, t, j), jnp.float32),
             jax.ShapeDtypeStruct((n, up, j), jnp.float32),
-            jax.ShapeDtypeStruct((n, t * up, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, t, up), jnp.float32),
         ),
         interpret=interpret,
-    )(enc_p, pred_p, lab_rows, wq, bq, gb, ge)
+    )(enc_p, pred_p, lab, wq, bq, gb, ge)
 
     # dW/db over V-chunks; the chunk axis is outermost so each [J, VC]
     # output block accumulates VMEM-resident across its (n, t) sweep
@@ -390,17 +443,17 @@ def joint_lp_bwd_pallas(enc_proj, pred_proj, w_out, b_out, labels,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, up, j), lambda q, i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BT * up, 1), lambda q, i, k: (i, 0, 0),
+            pl.BlockSpec((1, 1, up), lambda q, i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((j, vc), lambda q, i, k: (0, q),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vc), lambda q, i, k: (0, q),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BT * up, 1), lambda q, i, k: (i, k, 0),
+            pl.BlockSpec((1, _BT, up), lambda q, i, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BT * up, 1), lambda q, i, k: (i, k, 0),
+            pl.BlockSpec((1, _BT, up), lambda q, i, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BT * up, 1), lambda q, i, k: (i, k, 0),
+            pl.BlockSpec((1, _BT, up), lambda q, i, k: (i, k, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -414,7 +467,7 @@ def joint_lp_bwd_pallas(enc_proj, pred_proj, w_out, b_out, labels,
             jax.ShapeDtypeStruct((1, v), jnp.float32),
         ),
         interpret=interpret,
-    )(enc_p, pred_p, lab_rows, wq, bq, gb, ge, lse_rows)
+    )(enc_p, pred_p, lab, wq, bq, gb, ge, lse_lat)
 
     return (
         dencp[:, :t0],

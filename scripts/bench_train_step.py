@@ -1,0 +1,127 @@
+"""Full flagship train-step benchmark (device-side chained steps).
+
+Measures ms/step of the complete jitted training program — device
+frontend (SpecAugment) -> encoder -> fused joint+loss -> grads ->
+ranger update — at the flagship shape (6-2-1024, vocab 2048, the
+reference's english model, docs/docs.md:129-137), isolating pure device
+time from the tunnel dispatch the way scripts/bench_pallas.py does:
+K steps chained inside ONE jit program with a data dependency
+(lax.scan over the train step), a scalar pulled to host as the only
+completion barrier, reported as (T_k - T_1)/(k-1).
+
+Usage:
+  python scripts/bench_train_step.py [--bs 16] [--secs 6] [--k 8]
+  LIBREASR_PALLAS_JOINT=1 python scripts/bench_train_step.py   # A/B
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=16)
+    ap.add_argument("--secs", type=float, default=6.0)
+    ap.add_argument("--u", type=int, default=60, help="label length")
+    ap.add_argument("--k", type=int, default=8, help="chained steps")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--no-fused", action="store_true",
+                    help="lattice loss instead of fused joint+loss")
+    args = ap.parse_args()
+
+    from libreasr_tpu.config import open_config
+    from libreasr_tpu.models.transducer import TransducerConfig, init_transducer
+    from libreasr_tpu.ops.frontend import FrontendConfig
+    from libreasr_tpu.training.learner import (
+        Batch, LossConfig, TrainState, init_carry, make_train_step,
+    )
+    from libreasr_tpu.training.optimizers import build_optimizer
+    from libreasr_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"backend: {jax.default_backend()}  device: {jax.devices()[0]}")
+    print(f"LIBREASR_PALLAS_JOINT={os.environ.get('LIBREASR_PALLAS_JOINT', '')}")
+
+    conf = open_config("config/base.yaml")
+    conf["dtypes"]["compute"] = "bfloat16"
+    cfg = TransducerConfig.from_config(conf)
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    frontend = FrontendConfig.from_config(conf)
+    loss_cfg = LossConfig(fused=not args.no_fused, t_chunk=16)
+    tx = build_optimizer("ranger", 5e-4, weight_decay=0.01, grad_clip=10.0)
+    step = make_train_step(model, tx, frontend, loss_cfg)
+
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    carry = init_carry(cfg, args.bs)
+
+    rng = np.random.default_rng(0)
+    n_samp = int(args.secs * conf["sr"])
+    batch = Batch(
+        audio=jnp.asarray(
+            rng.standard_normal((args.bs, n_samp)).astype(np.float32) * 0.1
+        ),
+        audio_len=jnp.full((args.bs,), n_samp, jnp.int32),
+        labels=jnp.asarray(
+            rng.integers(4, cfg.vocab_sz, (args.bs, args.u)).astype(np.int32)
+        ),
+        label_len=jnp.full((args.bs,), args.u, jnp.int32),
+    )
+
+    def chain(k):
+        @jax.jit
+        def run(state, carry, batch, key):
+            def body(c, i):
+                st, ca = c
+                st, ca, _ = step(st, ca, batch, jax.random.fold_in(key, i))
+                return (st, ca), ()
+
+            (st, ca), _ = jax.lax.scan(
+                body, (state, carry), jnp.arange(k)
+            )
+            # 4-byte host transfer = the only reliable completion
+            # barrier on the tunneled backend
+            return jnp.sum(st.params["joint"]["out"]["bias"][:8])
+
+        return run
+
+    key = jax.random.PRNGKey(1)
+    run1, runk = chain(1), chain(args.k)
+    t0 = time.perf_counter()
+    float(run1(state, carry, batch, key))
+    print(f"compile+first run1: {time.perf_counter()-t0:.1f} s")
+    t0 = time.perf_counter()
+    float(runk(state, carry, batch, key))
+    print(f"compile+first runk: {time.perf_counter()-t0:.1f} s")
+
+    deltas = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        float(run1(state, carry, batch, key))
+        t1 = time.perf_counter()
+        float(runk(state, carry, batch, key))
+        t2 = time.perf_counter()
+        deltas.append(((t2 - t1) - (t1 - t0)) / (args.k - 1))
+    ms = float(np.median(deltas)) * 1e3
+    audio_s = args.bs * args.secs
+    print(
+        f"train step (bs={args.bs} x {args.secs:.0f}s, "
+        f"fused={not args.no_fused}): {ms:.1f} ms/step "
+        f"({audio_s / (ms / 1e3):.0f}x realtime)"
+    )
+
+
+if __name__ == "__main__":
+    main()

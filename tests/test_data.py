@@ -195,3 +195,37 @@ def test_parse_vtt(tmp_path):
     cues = parse_vtt(str(p))
     assert cues[0] == (1000, 2500, "hello there")
     assert cues[1][2] == "second cue two lines"
+
+
+def test_common_voice_mp3_tree(tmp_path):
+    """Mock CommonVoice tree (clips/*.mp3 + validated.tsv) ingested
+    end-to-end by create_dataset — the reference gets this via sox
+    (transforms.py:68); here the native facade decodes mp3 through the
+    host codec (VERDICT r2 #2 done-criterion)."""
+    from libreasr_tpu.data.audio import have_mp3, write_mp3
+
+    if not have_mp3():
+        pytest.skip("host has no libmpg123/libmp3lame")
+    root = tmp_path / "cv"
+    clips = root / "clips"
+    clips.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    rows = []
+    for i, text in enumerate(["common voice one", "number two", "third clip"]):
+        name = f"clip_{i:03d}"
+        dur = int(rng.integers(16000, 32000))
+        pcm = (rng.standard_normal(dur) * 0.1).clip(-1, 1).astype(np.float32)
+        write_mp3(str(clips / f"{name}.mp3"), pcm, 16000)
+        rows.append((f"{name}.mp3", text))
+    with open(root / "validated.tsv", "w") as f:
+        f.write("path\tsentence\n")
+        for p, s in rows:
+            f.write(f"{p}\t{s}\n")
+
+    df = create_dataset(str(root), "common-voice", workers=1)
+    assert len(df) == 3
+    assert not df["bad"].any()
+    assert sorted(df["label"]) == ["common voice one", "number two", "third clip"]
+    assert (df["sr"] == 16000).all()
+    # durations within mp3 frame-padding slack of the encoded signal
+    assert (df["xlen"] > 900).all() and (df["xlen"] < 2400).all()

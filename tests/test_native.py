@@ -126,3 +126,39 @@ def test_bpe_dropout(bpe_model):
     assert lang.denumericalize(dropped) == text
     # deterministic under a fixed seed
     assert dropped == lang.numericalize(text, dropout=0.9, seed=7, append_eos=False)
+
+
+def test_mp3_decode_vs_wav_twin(tmp_path):
+    """mp3 decode (host codec via the native facade) must match the wav
+    twin of the same signal within lossy-codec tolerance (VERDICT r2 #2:
+    three of five corpus formats are mp3 — CommonVoice, Tatoeba, YT)."""
+    from libreasr_tpu.data.audio import have_mp3, write_mp3
+
+    if not have_mp3():
+        pytest.skip("host has no libmpg123/libmp3lame")
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    # band-limited multi-tone (mp3 kills content near Nyquist)
+    ref = (
+        0.4 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1330 * t)
+    ).astype(np.float32)
+    wav_path = str(tmp_path / "twin.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((ref * 32767).astype(np.int16).tobytes())
+    mp3_path = str(tmp_path / "twin.mp3")
+    write_mp3(mp3_path, ref, sr, kbps=64)
+
+    wav_pcm, wav_sr = read_audio(wav_path)
+    mp3_pcm, mp3_sr = read_audio(mp3_path)
+    assert mp3_sr == wav_sr == sr
+    # align: mp3 adds a fixed encoder+decoder delay
+    d, r = mp3_pcm[0], wav_pcm[0]
+    delay = int(np.argmax(np.correlate(d[:4000], r[:2000])))
+    seg_d, seg_r = d[delay : delay + 8000], r[:8000]
+    rmse = float(np.sqrt(np.mean((seg_d - seg_r) ** 2)))
+    assert rmse < 0.05, rmse
+    # energy match too (no silent decode)
+    assert abs(float(np.std(seg_d)) - float(np.std(seg_r))) < 0.05
