@@ -181,6 +181,19 @@ class StreamingEngine:
         self.fns: DecoderFns = bundle.decoder_fns(use_lm)
         self.cfg = bundle.cfg
         self.frontend: FrontendConfig = bundle.frontend
+        if self.frontend.deltas:
+            # the delta filter is centered over time (future context);
+            # serving it incrementally would silently diverge from the
+            # batch/training features the engine's exactness proof
+            # guarantees. Refuse instead of diverging (the reference
+            # ships deltas unused too — transforms.py:297, deltas: 0).
+            raise NotImplementedError(
+                "StreamingEngine does not support frontend.deltas > 0: "
+                "delta features need future frames and would make "
+                "streaming features diverge from training. Set "
+                "`deltas: 0` for streaming models, or decode offline "
+                "via ASRBundle.transcribe."
+            )
         (self._frames_per_chunk, self._delay, self._sample_carry_len,
          self._mel_carry_len) = _stream_geometry(
             self.frontend, self.scfg.chunk_samples
