@@ -285,21 +285,28 @@ class ASRServicer:
     """Implements ASR.ASR (reference ASRServicer, api-server.py:53-135)."""
 
     def __init__(self, bundle, engine=None, max_streams: int = 64,
-                 beam_width: int = 0, use_lm: bool = False):
+                 beam_width: int = 0, use_lm: bool = False,
+                 lm_alpha: float | None = None,
+                 lm_beta: float | None = None):
         self.bundle = bundle
         self.beam_width = beam_width
         self.use_lm = use_lm
+        sc = (bundle.conf.get("stream", {}) or {})
+        # fusion weights: CLI/ctor override > bundle stream config >
+        # reference defaults (lm.py:13-14 alpha; beta is the insertion
+        # bonus offsetting per-emission LM cost in beam mode)
+        self.lm_alpha = sc.get("lm_alpha", 0.1) if lm_alpha is None else lm_alpha
+        self.lm_beta = sc.get("lm_beta", 0.0) if lm_beta is None else lm_beta
         if engine is None:
             from ..models.streaming import StreamingConfig, StreamingEngine
 
-            sc = (bundle.conf.get("stream", {}) or {})
             scfg = StreamingConfig(
                 sr=bundle.frontend.sr,
                 n_buffer=sc.get("n_buffer", 1),
                 max_iters=sc.get("max_iters", 10),
                 reset_thresh_ms=sc.get("reset_thresh", 4000),
-                beam_width=sc.get("beam_width", 0),
-                lm_alpha=sc.get("lm_alpha", 0.1),
+                beam_width=beam_width or sc.get("beam_width", 0),
+                lm_alpha=self.lm_alpha,
             )
             engine = StreamingEngine(
                 bundle,
@@ -324,7 +331,8 @@ class ASRServicer:
         t1 = time.perf_counter()
         if self.beam_width > 1:
             text, _ = self.bundle.transcribe_beam(
-                pcm, beam_width=self.beam_width, use_lm=self.use_lm
+                pcm, beam_width=self.beam_width, use_lm=self.use_lm,
+                lm_alpha=self.lm_alpha, lm_beta=self.lm_beta,
             )
         else:
             text, _ = self.bundle.transcribe(pcm)
@@ -380,13 +388,15 @@ class ASRServicer:
 
 
 def make_server(bundle, port: int, workers: int = 128, engine=None,
-                beam_width: int = 0, use_lm: bool = False):
+                beam_width: int = 0, use_lm: bool = False,
+                lm_alpha: float | None = None, lm_beta: float | None = None):
     """grpc server with hand-rolled method handlers (no generated stubs;
     the image lacks grpc_tools)."""
     import grpc
 
     servicer = ASRServicer(
-        bundle, engine=engine, beam_width=beam_width, use_lm=use_lm
+        bundle, engine=engine, beam_width=beam_width, use_lm=use_lm,
+        lm_alpha=lm_alpha, lm_beta=lm_beta,
     )
     handlers = {
         "Transcribe": grpc.unary_unary_rpc_method_handler(
@@ -409,7 +419,8 @@ def make_server(bundle, port: int, workers: int = 128, engine=None,
 
 
 def serve(lang: str = "en", port: int | None = None, config: str | None = None,
-          bundle_path: str | None = None, beam: int = 0, use_lm: bool = False):
+          bundle_path: str | None = None, beam: int = 0, use_lm: bool = False,
+          lm_alpha: float | None = None, lm_beta: float | None = None):
     from ..api import ASRBundle
     from ..config import parse_and_apply_config
 
@@ -419,7 +430,10 @@ def serve(lang: str = "en", port: int | None = None, config: str | None = None,
         conf = parse_and_apply_config(inference=True, lang=lang, path=config)
         bundle = ASRBundle.from_config(conf, lang_name=lang)
     port = port or LANG_PORTS.get(lang, 50051)
-    server, servicer = make_server(bundle, port, beam_width=beam, use_lm=use_lm)
+    server, servicer = make_server(
+        bundle, port, beam_width=beam, use_lm=use_lm,
+        lm_alpha=lm_alpha, lm_beta=lm_beta,
+    )
     # compile + settle the batched step before accepting traffic so the
     # first connection doesn't eat the jit latency
     servicer.engine.warmup()
@@ -435,10 +449,17 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--config", default=None)
     p.add_argument("--bundle", default=None, help="release tar.gz to serve")
-    p.add_argument("--beam", type=int, default=0, help="beam width for unary Transcribe")
+    p.add_argument("--beam", type=int, default=0,
+                   help="beam width (unary Transcribe AND the streaming "
+                        "engine when no stream.beam_width is configured)")
     p.add_argument("--use-lm", action="store_true")
+    p.add_argument("--lm-alpha", type=float, default=None,
+                   help="LM fusion weight (default: bundle stream config)")
+    p.add_argument("--lm-beta", type=float, default=None,
+                   help="token insertion bonus for beam+LM decoding")
     a = p.parse_args(argv)
-    serve(a.lang, a.port, a.config, a.bundle, a.beam, a.use_lm)
+    serve(a.lang, a.port, a.config, a.bundle, a.beam, a.use_lm,
+          lm_alpha=a.lm_alpha, lm_beta=a.lm_beta)
 
 
 if __name__ == "__main__":
