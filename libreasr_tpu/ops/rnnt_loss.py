@@ -220,6 +220,22 @@ def _rnnt_bwd(blank, res, g):
 rnnt_loss.defvjp(_rnnt_fwd, _rnnt_bwd)
 
 
+def rnnt_loss_autodiff(logits, labels, frame_lengths, label_lengths,
+                       blank: int = 0):
+    """The same scan/associative-scan DP as `rnnt_loss`, WITHOUT the
+    custom_vjp wrapper: every op is a differentiable lax primitive, so
+    JAX can take gradients of any order — including the
+    forward-over-reverse hvp AdaHessian's Hutchinson estimator needs
+    (reference HutchinsonTraceCallback, learner.py:68-118), which a
+    custom_vjp function cannot provide (jvp of custom_vjp is undefined).
+    First-order training should keep `rnnt_loss` (analytic occupancy
+    gradients, no DP tape); this variant trades one extra tape for
+    arbitrary-order differentiability at the SAME compile-friendly
+    program size — unlike rnnt_loss_naive's O(T·U) unrolled graph."""
+    loss, _ = _rnnt_fwd_impl(logits, labels, frame_lengths, label_lengths, blank)
+    return loss
+
+
 # ---------------------------------------------------------------------------
 # reference implementations (for tests)
 # ---------------------------------------------------------------------------

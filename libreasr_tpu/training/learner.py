@@ -113,14 +113,15 @@ def make_train_step(
     If `hutchinson` (AdaHessian runs), a Rademacher Hessian-diagonal
     estimate z ⊙ Hz is computed via forward-over-reverse AD and passed to
     the optimizer (reference HutchinsonTraceCallback, learner.py:68-118);
-    the loss then uses the autodiff DP (rnnt_loss_naive) because the
-    analytic custom_vjp is first-order only.
+    the loss then uses rnnt_loss_autodiff — the same scan DP without the
+    (first-order-only) custom_vjp, differentiable to any order at the
+    same compiled program size.
     Returns step(state, carry, batch, rng) -> (state, carry, metrics).
     """
-    from ..ops.rnnt_loss import rnnt_loss_naive
+    from ..ops.rnnt_loss import rnnt_loss_autodiff
 
     cfg = model.cfg
-    loss_impl = rnnt_loss_naive if hutchinson else rnnt_loss
+    loss_impl = rnnt_loss_autodiff if hutchinson else rnnt_loss
     if loss_cfg.fused and cfg.joint_method != "concat":
         raise ValueError("fused loss requires joint_method='concat'")
     if loss_cfg.fused and hutchinson:
