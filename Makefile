@@ -10,6 +10,13 @@ train:
 train-lm:
 	$(PY) train_lm.py --corpus tmp/corpus.txt --tokenizer tmp/tokenizer.bpe-model
 
+# turn-key LibriSpeech-960 recipe: download -> CSVs -> tokenizer ->
+# histogram bucket ladder -> crash-resume training -> WER report
+# (set ROOT to the corpus location; add DOWNLOAD=--download to fetch)
+ROOT ?= /data/LibriSpeech
+train-960:
+	$(PY) scripts/train_960.py --root $(ROOT) $(DOWNLOAD)
+
 # serving: per-language gRPC servers + WS bridge (reference :59-68)
 sen:
 	$(PY) -m libreasr_tpu.serving.server --lang en --port 50051
@@ -47,4 +54,4 @@ bench:
 tensorboard:
 	tensorboard --logdir runs --port 6006 --host 0.0.0.0
 
-.PHONY: train train-lm sen sde b deploy client gen native test bench tensorboard
+.PHONY: train train-lm train-960 sen sde b deploy client gen native test bench tensorboard

@@ -35,6 +35,48 @@ class Bucket:
         return (self.max_samples, self.max_tokens, self.bs)
 
 
+def buckets_from_histogram(
+    xlen_ms,
+    ylen,
+    sr: int = 16000,
+    n_buckets: int = 4,
+    frame_budget: int = 72_000,
+    bs_max: int = 32,
+    data_axis: int = 1,
+) -> list[Bucket]:
+    """Derive a bucket ladder from a corpus length histogram (the
+    turn-key recipe's analog of hand-tuning config buckets; plays the
+    role of the reference's DynamicBucketingDL caps, data.py:44-54:
+    X_MAX = 8*9000 frames, BS_MAX = 32).
+
+    xlen_ms/ylen: per-utterance audio length (ms) and token count.
+    Buckets split at audio-length quantiles; each bucket's y_max is the
+    98th percentile of its members' label lengths (+2 for EOS/BOS) and
+    its batch size fills `frame_budget` total 10 ms mel frames, capped
+    at bs_max, rounded down to a multiple of `data_axis` (mesh-ready).
+    """
+    xlen_ms = np.asarray(xlen_ms, np.float64)
+    ylen = np.asarray(ylen, np.int64)
+    qs = np.linspace(0, 1, n_buckets + 1)[1:]
+    edges = np.unique(np.quantile(xlen_ms, qs))
+    out = []
+    lo = -np.inf
+    for edge in edges:
+        in_b = (xlen_ms > lo) & (xlen_ms <= edge)
+        lo = edge
+        if not in_b.any():
+            continue
+        mel_frames = int(np.ceil(edge / 10.0))  # 10 ms hop
+        y_max = int(np.quantile(ylen[in_b], 0.98)) + 2
+        bs = max(min(frame_budget // max(mel_frames, 1), bs_max), data_axis)
+        bs = max((bs // data_axis) * data_axis, data_axis)
+        if bs < 2:  # bs==1 batches are dropped (BatchNorm)
+            continue
+        samples = mel_frames * int(sr * 0.01)
+        out.append(Bucket(samples, y_max, bs))
+    return sorted(out, key=lambda b: b.max_samples)
+
+
 def buckets_from_config(conf: dict) -> list[Bucket]:
     """Config buckets use x_max in *stacked encoder frames* (80 ms each);
     convert to samples: frames * downsample * hop + window slack."""

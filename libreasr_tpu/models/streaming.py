@@ -200,6 +200,8 @@ class StreamingEngine:
         )
         # variables enter as a jit argument (arg 0), state is donated
         self._step = jax.jit(self._build_step(), donate_argnums=(1,))
+        # chained-step programs (backlog recovery), compiled per depth
+        self._step_chain: dict[int, Any] = {}
         self.state: StreamState | None = None
         self._init = None  # jitted state builder (built on first use)
         # host-side slot bookkeeping
@@ -560,12 +562,107 @@ class StreamingEngine:
         self._pending_reset_arr[valid] = False
         return (packed, valid, self._reset_epoch.copy())
 
+    def backlog_depth(self) -> int:
+        """Max full chunk-steps buffered across active slots — the
+        serving stepper's chaining signal."""
+        need = self.samples_per_step
+        d = 0
+        for i in range(self.n):
+            if self.active[i]:
+                d = max(d, len(self.sample_buf[i]) // need)
+        return d
+
+    def _chained_step_fn(self, k: int):
+        fn = self._step_chain.get(k)
+        if fn is None:
+            step = self._build_step()
+
+            def step_k(variables, state, chunks_k, valid_k, reset_k,
+                       fresh_dec):
+                """k engine steps as ONE device program: lax.scan threads
+                the (donated) stream state through the sub-steps, so a
+                dispatch+collect round-trip is paid once per k chunk
+                intervals instead of per chunk — the backlog-recovery
+                amortization on remote-attached chips."""
+
+                def body(st, xs):
+                    ch, va, re = xs
+                    st, packed = step(variables, st, ch, va, re, fresh_dec)
+                    return st, packed
+
+                state, packs = jax.lax.scan(
+                    body, state, (chunks_k, valid_k, reset_k)
+                )
+                return state, packs  # packs: [k, N, K_tok+1]
+
+            fn = jax.jit(step_k, donate_argnums=(1,))
+            self._step_chain[k] = fn
+        return fn
+
+    def step_dispatch_chained(self, k: int):
+        """Chained variant of step_dispatch: consume up to k buffered
+        chunk-steps per slot in ONE device program. Slots with shorter
+        backlogs ride along (valid masked per sub-step); sub-step order
+        per slot is preserved, so emissions match k sequential steps
+        exactly. Returns a pending record for step_collect (which
+        detects the chained shape), or None when nothing is ready."""
+        scfg = self.scfg
+        c, need = scfg.chunk_samples, self.samples_per_step
+        avail = np.zeros(self.n, np.int64)
+        for i in range(self.n):
+            if self.active[i]:
+                avail[i] = min(len(self.sample_buf[i]) // need, k)
+        if not avail.any():
+            return None
+        chunks = np.zeros((k, self.n, scfg.n_buffer, c), np.float32)
+        valid = np.zeros((k, self.n), bool)
+        for i in np.nonzero(avail)[0]:
+            a = int(avail[i])
+            take = self.sample_buf[i][: a * need]
+            chunks[:a, i] = take.reshape(a, scfg.n_buffer, c)
+            self.sample_buf[i] = self.sample_buf[i][a * need :]
+            valid[:a, i] = True
+        # a slot's backlog is contiguous, so its first sub-step is j=0:
+        # pending resets apply there only
+        v0 = valid[0]
+        reset = np.zeros((k, self.n), bool)
+        reset[0] = self._pending_reset & v0
+        self._ensure_state()
+        ch = jnp.asarray(chunks)
+        va = jnp.asarray(valid)
+        re = jnp.asarray(reset)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def sh(x):
+                spec = PartitionSpec(*((None, "data") + (None,) * (x.ndim - 2)))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            ch, va, re = sh(ch), sh(va), sh(re)
+        self.state, packs = self._chained_step_fn(k)(
+            self.bundle.variables, self.state, ch, va, re, self._fresh_dec
+        )
+        r0 = reset[0]
+        self._eos_done[r0] = False
+        self._reset_epoch[r0] += 1
+        self._pending_reset_arr[v0] = False
+        return (packs, valid, self._reset_epoch.copy())
+
     def step_collect(self, pending) -> None:
         """Phase 2: materialize a dispatched step's outputs (ONE host
         fetch) and distribute each stepped slot's new text into its
-        outbox."""
+        outbox. Accepts both single-step ([N, .]) and chained ([k, N, .])
+        pending records; chained sub-steps distribute in order."""
         dpacked, valid, epochs = pending
         packed = np.asarray(dpacked)
+        if valid.ndim == 2:  # chained record
+            for j in range(valid.shape[0]):
+                if valid[j].any():
+                    self._distribute(packed[j], valid[j], epochs)
+            return
+        self._distribute(packed, valid, epochs)
+
+    def _distribute(self, packed, valid, epochs) -> None:
         toks, lens = packed[:, :-1], packed[:, -1]
         scfg = self.scfg
         eos = getattr(self.bundle.lang, "eos", None)

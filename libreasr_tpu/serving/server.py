@@ -224,8 +224,21 @@ class BatchStepper:
             if has_finish or t0 >= next_dispatch:
                 # pipelined stepping: dispatch step k+1 before collecting
                 # step k, so k's output transfer (the dominant cost
-                # through a dispatch tunnel) overlaps k+1's device compute
-                while (p := eng.step_dispatch()) is not None:
+                # through a dispatch tunnel) overlaps k+1's device compute.
+                # Under backlog (>= 2 chunk-steps buffered anywhere),
+                # chain up to 8 engine steps into ONE device program —
+                # the dispatch round-trip then amortizes over the chain
+                # instead of compounding the backlog.
+                def _dispatch():
+                    depth = eng.backlog_depth()
+                    if depth >= 2:
+                        kk = 2
+                        while kk * 2 <= min(depth, 8):
+                            kk *= 2
+                        return eng.step_dispatch_chained(kk)
+                    return eng.step_dispatch()
+
+                while (p := _dispatch()) is not None:
                     td = time.perf_counter()
                     stepped = True
                     if pending is not None:

@@ -198,3 +198,51 @@ def test_deltas_refused_at_engine_build():
     b = ASRBundle.from_config(conf)
     with pytest.raises(NotImplementedError, match="deltas"):
         StreamingEngine(b, n_streams=1)
+
+
+def test_chained_dispatch_matches_sequential(bundle, rng):
+    """step_dispatch_chained(k): k engine steps in ONE device program
+    (backlog recovery, VERDICT r2 #3) must emit exactly what k
+    sequential dispatch/collect steps emit — including slots with
+    SHORTER backlogs riding along under the valid mask."""
+    audio_a = (rng.standard_normal(1280 * 8) * 0.1).astype(np.float32)
+    audio_b = (rng.standard_normal(1280 * 3) * 0.2).astype(np.float32)
+
+    def run(chained: bool):
+        eng = StreamingEngine(bundle, n_streams=2)
+        sa, sb = eng.open_slot(), eng.open_slot()
+        eng.append_samples(sa, audio_a)  # backlog depth 8
+        eng.append_samples(sb, audio_b)  # backlog depth 3
+        if chained:
+            p = eng.step_dispatch_chained(4)  # 4 sub-steps
+            eng.step_collect(p)
+            p = eng.step_dispatch_chained(4)  # remaining 4 (a only)
+            eng.step_collect(p)
+        else:
+            while (p := eng.step_dispatch()) is not None:
+                eng.step_collect(p)
+        return eng.drain(sa), eng.drain(sb), list(eng.emitted[sa]), list(eng.emitted[sb])
+
+    seq = run(False)
+    cha = run(True)
+    assert cha == seq
+    assert seq[2]  # random weights emit plenty — the test is not vacuous
+
+
+def test_chained_dispatch_reset_semantics(bundle, rng):
+    """Pending slot resets apply at a chain's first sub-step; a chain
+    dispatched entirely after close/reopen decodes from scratch."""
+    audio = (rng.standard_normal(1280 * 4) * 0.1).astype(np.float32)
+    eng = StreamingEngine(bundle, n_streams=1)
+    s = eng.open_slot()
+    eng.append_samples(s, audio)
+    p = eng.step_dispatch_chained(4)
+    eng.step_collect(p)
+    first = list(eng.emitted[s])
+    eng.close_slot(s)
+    s2 = eng.open_slot()
+    assert s2 == s
+    eng.append_samples(s2, audio)
+    p = eng.step_dispatch_chained(4)
+    eng.step_collect(p)
+    assert list(eng.emitted[s2]) == first  # fresh state -> same decode
