@@ -69,6 +69,10 @@ def buckets_from_histogram(
         mel_frames = int(np.ceil(edge / 10.0))  # 10 ms hop
         y_max = int(np.quantile(ylen[in_b], 0.98)) + 2
         bs = max(min(frame_budget // max(mel_frames, 1), bs_max), data_axis)
+        # never exceed the bucket's population: with drop_last (mesh
+        # training) an oversized bs would yield zero batches on small
+        # corpora (the mock-recipe case)
+        bs = min(bs, max(int(in_b.sum()), data_axis))
         bs = max((bs // data_axis) * data_axis, data_axis)
         if bs < 2:  # bs==1 batches are dropped (BatchNorm)
             continue
