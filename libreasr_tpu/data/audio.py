@@ -73,13 +73,15 @@ def read_audio(path: str, return_md5: bool = False):
             return (pcm, sr, None) if return_md5 else (pcm, sr)
         pcm, sr = read_wav_py(path)
         return (pcm, sr, None) if return_md5 else (pcm, sr)
-    if ext == ".mp3":
-        # decoded by the HOST codec library (libmpg123) behind the native
-        # lib — the same architecture as the reference's torchaudio ->
-        # libsox -> system MPEG codec path (transforms.py:68)
+    if ext in (".mp3", ".ogg", ".oga"):
+        # decoded by the HOST codec libraries (libmpg123 / libvorbisfile)
+        # behind the native lib — the same architecture as the
+        # reference's torchaudio -> libsox -> system codec path
+        # (transforms.py:68)
         if lib is None:
-            raise AudioReadError("native audio lib unavailable for mp3")
-        pcm, sr, _ = _from_native(lib, lib.la_read_mp3, path)
+            raise AudioReadError(f"native audio lib unavailable for {ext}")
+        fn = lib.la_read_mp3 if ext == ".mp3" else lib.la_read_ogg
+        pcm, sr, _ = _from_native(lib, fn, path)
         return (pcm, sr, None) if return_md5 else (pcm, sr)
     raise AudioReadError(f"unsupported audio format: {path}")
 
@@ -97,6 +99,33 @@ def write_mp3(path: str, pcm: np.ndarray, sr: int, kbps: int = 64) -> None:
     )
     if rc != 0:
         raise AudioReadError(f"mp3 encode failed rc={rc} (host lame missing?)")
+
+
+def write_ogg(path: str, pcm: np.ndarray, sr: int, quality: float = 0.4) -> None:
+    """Encode mono float32 pcm to Ogg/Vorbis via the host's libvorbis."""
+    lib = audio_lib()
+    if lib is None:
+        raise AudioReadError("native audio lib unavailable")
+    row = np.ascontiguousarray(np.asarray(pcm, np.float32).reshape(-1))
+    rc = lib.la_write_ogg(
+        path.encode(), row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(row), int(sr), ctypes.c_float(quality),
+    )
+    if rc != 0:
+        raise AudioReadError(f"ogg encode failed rc={rc} (host libvorbis missing?)")
+
+
+def have_ogg() -> bool:
+    """True when the host vorbis libraries back the ogg path."""
+    if audio_lib() is None:
+        return False
+    import ctypes as _c
+
+    try:
+        _c.CDLL("libvorbisfile.so.3")
+        return True
+    except OSError:
+        return False
 
 
 def have_mp3() -> bool:

@@ -60,6 +60,13 @@ def audio_lib() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.la_read_ogg.argtypes = [
+            ctypes.c_char_p, fpp, i64p, i32p, i32p,
+        ]
+        lib.la_write_ogg.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_float,
+        ]
         lib.la_resample.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, fpp, i64p,

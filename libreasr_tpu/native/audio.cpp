@@ -666,6 +666,204 @@ int la_write_mp3(const char* path, const float* pcm, int64_t n, int sr,
 }
 
 // ---------------------------------------------------------------------------
+// Ogg/Vorbis via the host's libvorbisfile (decode) and
+// libvorbis/libvorbisenc/libogg (encode, for fixtures/convert) — the
+// same dlopen-the-host-codec pattern as mp3 above. The reference reads
+// ogg through sox the same way (transforms.py:68).
+// ---------------------------------------------------------------------------
+
+// vorbis_info's leading fields are stable public ABI (vorbis/codec.h)
+struct LaVorbisInfo {
+  int version;
+  int channels;
+  long rate;
+  // ... (unused tail)
+};
+
+int la_read_ogg(const char* path, float** out, int64_t* n_out, int* sr_out,
+                int* ch_out) {
+  static void* dl = nullptr;
+  static int tried = 0;
+  if (!tried) {
+    tried = 1;
+    dl = dlopen("libvorbisfile.so.3", RTLD_NOW | RTLD_GLOBAL);
+    if (!dl) dl = dlopen("libvorbisfile.so", RTLD_NOW | RTLD_GLOBAL);
+  }
+  if (!dl) return -20;
+  int (*fopen_)(const char*, void*) =
+      (int (*)(const char*, void*))dlsym(dl, "ov_fopen");
+  LaVorbisInfo* (*info_)(void*, int) =
+      (LaVorbisInfo * (*)(void*, int)) dlsym(dl, "ov_info");
+  long (*read_float_)(void*, float***, int, int*) =
+      (long (*)(void*, float***, int, int*))dlsym(dl, "ov_read_float");
+  int (*clear_)(void*) = (int (*)(void*))dlsym(dl, "ov_clear");
+  if (!fopen_ || !info_ || !read_float_ || !clear_) return -21;
+  // OggVorbis_File is ~944 bytes; over-allocate for ABI headroom
+  std::vector<unsigned char> vf(4096, 0);
+  if (fopen_(path, vf.data()) != 0) return -22;
+  LaVorbisInfo* vi = info_(vf.data(), -1);
+  if (!vi || vi->channels < 1) {
+    clear_(vf.data());
+    return -23;
+  }
+  int ch = vi->channels;
+  long rate = vi->rate;
+  std::vector<float> pcm;  // interleaved
+  int bitstream = 0;
+  while (true) {
+    float** chans = nullptr;
+    long got = read_float_(vf.data(), &chans, 4096, &bitstream);
+    if (got <= 0) break;  // 0 = EOF; negative = hole/error -> stop
+    size_t base = pcm.size();
+    pcm.resize(base + (size_t)got * ch);
+    for (long s = 0; s < got; s++)
+      for (int c = 0; c < ch; c++)
+        pcm[base + (size_t)s * ch + c] = chans[c][s];
+  }
+  clear_(vf.data());
+  if (pcm.empty()) return -25;
+  float* res = (float*)malloc(pcm.size() * sizeof(float));
+  memcpy(res, pcm.data(), pcm.size() * sizeof(float));
+  *out = res;
+  *n_out = (int64_t)pcm.size() / ch;
+  *sr_out = (int)rate;
+  *ch_out = ch;
+  return 0;
+}
+
+// minimal mono Vorbis encoder (fixture synthesis / convert roundtrips):
+// the canonical libvorbis encode flow — analysis init, 3 header
+// packets, blockwise analysis, ogg page-out. Opaque codec structs are
+// over-allocated zeroed buffers; ogg_packet/ogg_page are small public
+// POD structs mirrored locally.
+struct LaOggPacket {
+  unsigned char* packet;
+  long bytes;
+  long b_o_s;
+  long e_o_s;
+  int64_t granulepos;
+  int64_t packetno;
+};
+struct LaOggPage {
+  unsigned char* header;
+  long header_len;
+  unsigned char* body;
+  long body_len;
+};
+
+int la_write_ogg(const char* path, const float* pcm, int64_t n, int sr,
+                 float quality) {
+  static void *dlv = nullptr, *dle = nullptr, *dlo = nullptr;
+  static int tried = 0;
+  if (!tried) {
+    tried = 1;
+    dlo = dlopen("libogg.so.0", RTLD_NOW | RTLD_GLOBAL);
+    dlv = dlopen("libvorbis.so.0", RTLD_NOW | RTLD_GLOBAL);
+    dle = dlopen("libvorbisenc.so.2", RTLD_NOW | RTLD_GLOBAL);
+  }
+  if (!dlv || !dle || !dlo) return -20;
+  void (*vi_init)(void*) = (void (*)(void*))dlsym(dlv, "vorbis_info_init");
+  int (*enc_init)(void*, long, long, float) =
+      (int (*)(void*, long, long, float))dlsym(dle, "vorbis_encode_init_vbr");
+  int (*an_init)(void*, void*) =
+      (int (*)(void*, void*))dlsym(dlv, "vorbis_analysis_init");
+  int (*blk_init)(void*, void*) =
+      (int (*)(void*, void*))dlsym(dlv, "vorbis_block_init");
+  void (*comment_init)(void*) = (void (*)(void*))dlsym(dlv, "vorbis_comment_init");
+  int (*headerout)(void*, void*, void*, void*, void*) =
+      (int (*)(void*, void*, void*, void*, void*))dlsym(
+          dlv, "vorbis_analysis_headerout");
+  float** (*buffer)(void*, int) =
+      (float** (*)(void*, int))dlsym(dlv, "vorbis_analysis_buffer");
+  int (*wrote)(void*, int) = (int (*)(void*, int))dlsym(dlv, "vorbis_analysis_wrote");
+  int (*blockout)(void*, void*) =
+      (int (*)(void*, void*))dlsym(dlv, "vorbis_analysis_blockout");
+  int (*analysis)(void*, void*) = (int (*)(void*, void*))dlsym(dlv, "vorbis_analysis");
+  int (*addblock)(void*) = (int (*)(void*))dlsym(dlv, "vorbis_bitrate_addblock");
+  int (*flushpacket)(void*, void*) =
+      (int (*)(void*, void*))dlsym(dlv, "vorbis_bitrate_flushpacket");
+  void (*block_clear)(void*) = (void (*)(void*))dlsym(dlv, "vorbis_block_clear");
+  void (*dsp_clear)(void*) = (void (*)(void*))dlsym(dlv, "vorbis_dsp_clear");
+  void (*comment_clear)(void*) = (void (*)(void*))dlsym(dlv, "vorbis_comment_clear");
+  void (*info_clear)(void*) = (void (*)(void*))dlsym(dlv, "vorbis_info_clear");
+  int (*os_init)(void*, int) = (int (*)(void*, int))dlsym(dlo, "ogg_stream_init");
+  int (*os_packetin)(void*, void*) =
+      (int (*)(void*, void*))dlsym(dlo, "ogg_stream_packetin");
+  int (*os_pageout)(void*, void*) =
+      (int (*)(void*, void*))dlsym(dlo, "ogg_stream_pageout");
+  int (*os_flush)(void*, void*) = (int (*)(void*, void*))dlsym(dlo, "ogg_stream_flush");
+  int (*os_clear)(void*) = (int (*)(void*))dlsym(dlo, "ogg_stream_clear");
+  if (!vi_init || !enc_init || !an_init || !blk_init || !comment_init ||
+      !headerout || !buffer || !wrote || !blockout || !analysis ||
+      !addblock || !flushpacket || !block_clear || !dsp_clear ||
+      !comment_clear || !info_clear || !os_init || !os_packetin ||
+      !os_pageout || !os_flush || !os_clear)
+    return -21;
+
+  std::vector<unsigned char> vi(8192, 0), vd(8192, 0), vb(8192, 0),
+      vc(8192, 0), os(8192, 0);
+  vi_init(vi.data());
+  if (enc_init(vi.data(), 1, sr, quality) != 0) {
+    info_clear(vi.data());
+    return -22;
+  }
+  comment_init(vc.data());
+  an_init(vd.data(), vi.data());
+  blk_init(vd.data(), vb.data());
+  os_init(os.data(), 1);
+
+  FILE* f = fopen(path, "wb");
+  if (!f) return -24;
+  LaOggPacket hdr, hdr_comm, hdr_code;
+  headerout(vd.data(), vc.data(), &hdr, &hdr_comm, &hdr_code);
+  os_packetin(os.data(), &hdr);
+  os_packetin(os.data(), &hdr_comm);
+  os_packetin(os.data(), &hdr_code);
+  LaOggPage pg;
+  while (os_flush(os.data(), &pg) != 0) {
+    fwrite(pg.header, 1, pg.header_len, f);
+    fwrite(pg.body, 1, pg.body_len, f);
+  }
+  int64_t pos = 0;
+  bool eos = false;
+  while (!eos) {
+    long take = (long)((n - pos) < 1024 ? (n - pos) : 1024);
+    if (take > 0) {
+      float** buf = buffer(vd.data(), (int)take);
+      memcpy(buf[0], pcm + pos, take * sizeof(float));
+      pos += take;
+    }
+    wrote(vd.data(), (int)take);  // 0 signals end of stream
+    while (blockout(vd.data(), vb.data()) == 1) {
+      analysis(vb.data(), nullptr);
+      addblock(vb.data());
+      LaOggPacket op;
+      while (flushpacket(vd.data(), &op) == 1) {
+        os_packetin(os.data(), &op);
+        while (os_pageout(os.data(), &pg) != 0) {
+          fwrite(pg.header, 1, pg.header_len, f);
+          fwrite(pg.body, 1, pg.body_len, f);
+        }
+      }
+    }
+    if (take == 0) {
+      while (os_flush(os.data(), &pg) != 0) {
+        fwrite(pg.header, 1, pg.header_len, f);
+        fwrite(pg.body, 1, pg.body_len, f);
+      }
+      eos = true;
+    }
+  }
+  fclose(f);
+  os_clear(os.data());
+  block_clear(vb.data());
+  dsp_clear(vd.data());
+  comment_clear(vc.data());
+  info_clear(vi.data());
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Levenshtein distance on int32 token arrays (reference uses the
 // `editdistance` C++ extension, metrics.py:6)
 // ---------------------------------------------------------------------------

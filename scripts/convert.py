@@ -1,8 +1,8 @@
 """Batch audio conversion to 16 kHz mono WAV (reference
 scripts/convert.sh, which shells out to ffmpeg).
 
-Decodes WAV/FLAC with the in-repo C++ audio library (mp3 via the host
-codec library, libmpg123, behind the same native facade — the
+Decodes WAV/FLAC with the in-repo C++ audio library (mp3/ogg via the
+host codec libraries, libmpg123/libvorbisfile, behind the same native facade — the
 architecture the reference uses through sox), resamples with the
 polyphase sinc kernel, writes PCM16 WAV.
 
@@ -46,7 +46,7 @@ def main():
     n = 0
     for root, _, files in os.walk(a.path):
         for f in files:
-            if f.lower().endswith((".flac", ".wav", ".mp3")) and ".16k." not in f:
+            if f.lower().endswith((".flac", ".wav", ".mp3", ".ogg")) and ".16k." not in f:
                 out = convert_file(os.path.join(root, f), a.sr)
                 n += 1
                 if n % 100 == 0:

@@ -162,3 +162,26 @@ def test_mp3_decode_vs_wav_twin(tmp_path):
     assert rmse < 0.05, rmse
     # energy match too (no silent decode)
     assert abs(float(np.std(seg_d)) - float(np.std(seg_r))) < 0.05
+
+
+def test_ogg_decode_vs_wav_twin(tmp_path):
+    """ogg decode (host vorbis via the native facade) vs the wav twin —
+    same contract as the mp3 test; vorbis has no codec delay so the
+    decode is sample-aligned."""
+    from libreasr_tpu.data.audio import have_ogg, write_ogg
+
+    if not have_ogg():
+        pytest.skip("host has no libvorbis")
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    ref = (
+        0.4 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 1330 * t)
+    ).astype(np.float32)
+    ogg_path = str(tmp_path / "twin.ogg")
+    write_ogg(ogg_path, ref, sr)
+    pcm, got_sr = read_audio(ogg_path)
+    assert got_sr == sr and pcm.shape[0] == 1
+    assert abs(pcm.shape[1] - len(ref)) <= 1024
+    m = min(pcm.shape[1], len(ref))
+    rmse = float(np.sqrt(np.mean((pcm[0][:m] - ref[:m]) ** 2)))
+    assert rmse < 0.02, rmse
