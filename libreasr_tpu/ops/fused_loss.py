@@ -75,18 +75,22 @@ def _pred_proj(pred_out, jp: JointParams, cdt=None):
 
 
 def _joint_pallas_ok(jp: JointParams, cdt) -> bool:
-    """Fused Pallas joint kernels (ops/pallas/joint_lp.py) are OPT-IN
-    (LIBREASR_PALLAS_JOINT=1 on TPU; LIBREASR_FORCE_PALLAS=1 engages
-    interpret mode for CPU tests). Measured on v5e: the kernels beat the
-    XLA chunked path standalone (10.5 -> 9.3 ms fwd+bwd at the flagship
-    shape) but lose ~1.5 ms inside the full train step to operand
-    layout copies XLA inserts at the custom-call boundaries — so the
-    XLA path stays the default until that overhead is fixed."""
+    """Fused Pallas joint kernels (ops/pallas/joint_lp.py): DEFAULT ON
+    for TPU training with a low-precision compute policy and
+    lane-aligned J/V. Round 2 shipped them opt-in: the original
+    [N, T*Up, 1] row layout (lane dim 1) forced XLA layout-conversion
+    copies at every custom-call boundary, costing ~1.5 ms inside the
+    full step. Round 3 moved every boundary array to its natural XLA
+    shape ([N,T,Up] lattices, selector-matmul row expansion in VMEM) —
+    measured full flagship train step 29.9 -> 28.1 ms vs the XLA
+    chunked path (scripts/bench_train_step.py). Opt out with
+    LIBREASR_NO_PALLAS_JOINT=1; LIBREASR_FORCE_PALLAS=1 engages
+    interpret mode for CPU tests."""
     import os
 
     if os.environ.get("LIBREASR_FORCE_PALLAS") == "1":
         return True
-    if os.environ.get("LIBREASR_PALLAS_JOINT") != "1":
+    if os.environ.get("LIBREASR_NO_PALLAS_JOINT") == "1":
         return False
     if jax.default_backend() != "tpu" or cdt is None:
         return False
@@ -164,18 +168,22 @@ def _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk,
         lpb, lpe = _all_lp(enc_p, pred32, jp, labels, blank, t_chunk, cdt)
     alpha, lpe_m = _forward_alphas(lpb, lpe, yl)
     log_z = _terminal_gather(alpha, lpb, fl, yl)
-    return -log_z, (lpb, lpe_m)
+    return -log_z, (lpb, lpe_m, alpha, log_z)
 
 
 def _fused_fwd(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk,
                cdt=None):
-    loss, _ = _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank,
-                              t_chunk, cdt)
-    return loss, (enc_out, pred_out, jp, labels, fl, yl)
+    loss, aux = _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank,
+                                t_chunk, cdt)
+    # the DP inputs/outputs are V-free ([N,T,U1] — a few MB at train
+    # shapes), so carrying them as residuals is cheap and saves the
+    # backward an entire joint-lattice recompute pass; only the [.,V]
+    # logits are ever rebuilt (chunked / in-kernel)
+    return loss, (enc_out, pred_out, jp, labels, fl, yl) + aux
 
 
 def _fused_bwd(blank, t_chunk, cdt, res, g):
-    enc_out, pred_out, jp, labels, fl, yl = res
+    enc_out, pred_out, jp, labels, fl, yl, lpb, lpe_m, alpha, log_z = res
     enc_out32 = enc_out.astype(jnp.float32)
     pred_out32 = pred_out.astype(jnp.float32)
     n, t_orig, h = enc_out.shape
@@ -183,20 +191,7 @@ def _fused_bwd(blank, t_chunk, cdt, res, g):
 
     enc_p, t = _pad_time(enc_out32, t_chunk)
     use_pallas = _joint_pallas_ok(jp, cdt)
-    if use_pallas:
-        from .pallas.joint_lp import joint_lp_fwd_pallas
-
-        lpb, lpe = joint_lp_fwd_pallas(
-            _mmc(enc_p, jp.w_enc, cdt), _pred_proj(pred_out32, jp, cdt),
-            jp.w_out, jp.b_out, labels, blank,
-            interpret=jax.default_backend() != "tpu",
-            w_dtype=_joint_w_dtype(cdt),
-        )
-    else:
-        lpb, lpe = _all_lp(enc_p, pred_out32, jp, labels, blank, t_chunk, cdt)
-    alpha, lpe_m = _forward_alphas(lpb, lpe, yl)
     beta = _backward_betas(lpb, lpe_m, fl, yl)
-    log_z = _terminal_gather(alpha, lpb, fl, yl)
 
     t_ids = jnp.arange(t)
     u_ids = jnp.arange(u1)

@@ -11,7 +11,7 @@ completion barrier, reported as (T_k - T_1)/(k-1).
 
 Usage:
   python scripts/bench_train_step.py [--bs 16] [--secs 6] [--k 8]
-  LIBREASR_PALLAS_JOINT=1 python scripts/bench_train_step.py   # A/B
+  LIBREASR_NO_PALLAS_JOINT=1 python scripts/bench_train_step.py  # A/B vs XLA path
 """
 
 import argparse
@@ -48,7 +48,7 @@ def main():
 
     enable_compilation_cache()
     print(f"backend: {jax.default_backend()}  device: {jax.devices()[0]}")
-    print(f"LIBREASR_PALLAS_JOINT={os.environ.get('LIBREASR_PALLAS_JOINT', '')}")
+    print(f"LIBREASR_NO_PALLAS_JOINT={os.environ.get('LIBREASR_NO_PALLAS_JOINT', '')}")
 
     conf = open_config("config/base.yaml")
     conf["dtypes"]["compute"] = "bfloat16"

@@ -107,6 +107,67 @@ def main():
             )(xx)),
             x,
         )
+
+        # fused Pallas joint kernels vs the XLA chunked path, ON
+        # HARDWARE: loss parity + gradient cosines (the default-on
+        # train path since round 3; interpret-mode CI can't see Mosaic
+        # numerics)
+        import os
+
+        # lane-aligned shapes — the Pallas path only engages when
+        # J % 128 == 0 and V % 128 == 0 (a misaligned check would
+        # silently compare XLA against itself)
+        jj, vv = 128, 256
+        enc_a = jnp.asarray(rng.standard_normal((n, t, jj)).astype(np.float32))
+        pred_a = jnp.asarray(
+            rng.standard_normal((n, u + 1, jj)).astype(np.float32)
+        )
+        jp_a = JointParams(
+            w_pred=jnp.asarray(
+                rng.standard_normal((jj, jj)).astype(np.float32) * 0.2
+            ),
+            b_pred=jnp.zeros(jj),
+            w_enc=jnp.asarray(
+                rng.standard_normal((jj, jj)).astype(np.float32) * 0.2
+            ),
+            w_out=jnp.asarray(
+                rng.standard_normal((jj, vv)).astype(np.float32) * 0.2
+            ),
+            b_out=jnp.zeros(vv),
+        )
+        labels_a = jnp.asarray(rng.integers(1, vv, (n, u)).astype(np.int32))
+
+        def fused_grads(disable_pallas):
+            env = dict(os.environ)
+            os.environ["LIBREASR_NO_PALLAS_JOINT"] = (
+                "1" if disable_pallas else "0"
+            )
+            try:
+                def loss_fn(e, p, jp_):
+                    return rnnt_loss_fused(
+                        e, p, jp_, labels_a, fl, yl, 0, 8, jnp.bfloat16
+                    ).mean()
+
+                val, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                    enc_a, pred_a, jp_a
+                )
+                return float(val), jax.tree_util.tree_leaves(grads)
+            finally:
+                os.environ.clear()
+                os.environ.update(env)
+
+        v_x, g_x = fused_grads(disable_pallas=True)
+        v_p, g_p = fused_grads(disable_pallas=False)
+        rel = abs(v_p - v_x) / max(abs(v_x), 1e-9)
+        cosines = []
+        for a, b_ in zip(g_x, g_p):
+            a = np.asarray(a).ravel()
+            b_ = np.asarray(b_).ravel()
+            denom = np.linalg.norm(a) * np.linalg.norm(b_)
+            cosines.append(float(a @ b_ / denom) if denom > 0 else 1.0)
+        print(f"  pallas joint loss rel err {rel:.2e}, "
+              f"min grad cosine {min(cosines):.6f}")
+        assert rel < 1e-3 and min(cosines) > 0.999, (rel, cosines)
     print("all kernels ok")
 
 
