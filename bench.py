@@ -15,6 +15,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -189,16 +190,42 @@ def device_step_time(bundle, n_streams: int, n_buffer: int = 1, k: int = 8) -> f
     return float(np.median(deltas))
 
 
-def time_engine(bundle, n_streams: int, iters: int = 20, n_buffer: int = 1) -> float:
+def tone_workload(n_streams: int, n_buffer: int, chunk: int) -> np.ndarray:
+    """Tone-speech chunks (scripts/make_tone_corpus synthesis) — the
+    decode workload for a TRAINED bundle: real emissions at the model's
+    natural rate instead of noise-driven blanks."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+    from make_tone_corpus import WORDS, render
+
+    rng = np.random.default_rng(1)
+    need = n_buffer * chunk
+    out = np.zeros((n_streams, n_buffer, chunk), np.float32)
+    for i in range(n_streams):
+        text = " ".join(
+            WORDS[int(rng.integers(len(WORDS)))] for _ in range(6)
+        )
+        pcm = render(text, rng)
+        reps = int(np.ceil(need / len(pcm)))
+        out[i] = np.tile(pcm, reps)[:need].reshape(n_buffer, chunk)
+    return out
+
+
+def time_engine(bundle, n_streams: int, iters: int = 20, n_buffer: int = 1,
+                workload: np.ndarray | None = None) -> float:
     """Median wall seconds per batched stream step (n_buffer 80 ms chunks)."""
     from libreasr_tpu.models.streaming import StreamingConfig, StreamingEngine
 
     scfg = StreamingConfig(sr=bundle.frontend.sr, n_buffer=n_buffer)
     eng = StreamingEngine(bundle, n_streams=n_streams, scfg=scfg)
     rng = np.random.default_rng(0)
-    w = rng.standard_normal(
-        (n_streams, eng.scfg.n_buffer, eng.scfg.chunk_samples)
-    ).astype(np.float32) * 0.1
+    if workload is not None:
+        w = workload
+    else:
+        w = rng.standard_normal(
+            (n_streams, eng.scfg.n_buffer, eng.scfg.chunk_samples)
+        ).astype(np.float32) * 0.1
     # warmup / compile
     for _ in range(3):
         toks, lens = eng.step_batch(w)
@@ -221,27 +248,52 @@ def main():
     chunk_s = 0.080
     platform = jax.devices()[0].platform
     candidates = [64, 128, 256, 512] if platform != "cpu" else [8]
-    bundle = build_bundle()
 
-    # pin the decode workload to a trained model's emission rate
-    try:
-        target = golden_emission_rate()
-    except Exception as e:  # noqa: BLE001 - fixtures absent in some envs
-        print(f"# golden rate unavailable ({e}); target=0.6", file=sys.stderr)
-        target = 0.6
-    bias, rate = calibrate_blank_bias(bundle, target)
-    print(
-        f"# trained-bundle emission rate {target:.2f} tok/chunk; "
-        f"flagship proxy calibrated to {rate:.2f} at blank_bias {bias:.2f}",
-        file=sys.stderr,
+    # a TRAINED flagship bundle (scripts/make_tone_corpus.py +
+    # scripts/train_960.py produce one in ~15 min on one chip) replaces
+    # the calibrated random-weight proxy whenever present: real weights,
+    # real emissions on matching (tone-speech) audio
+    trained_path = os.environ.get(
+        "LIBREASR_BENCH_BUNDLE", "tmp/flagship_tone/model.tar.gz"
     )
+    trained = os.path.exists(trained_path)
+    if trained:
+        from libreasr_tpu.api import ASRBundle
+
+        bundle = ASRBundle.from_bundle(
+            trained_path, extract_to="./tmp/bench_flagship"
+        )
+        print(
+            f"# benching TRAINED flagship bundle {trained_path} on "
+            f"tone-speech audio (no proxy calibration)",
+            file=sys.stderr,
+        )
+    else:
+        bundle = build_bundle()
+        # pin the decode workload to a trained model's emission rate
+        try:
+            target = golden_emission_rate()
+        except Exception as e:  # noqa: BLE001 - fixtures absent in some envs
+            print(f"# golden rate unavailable ({e}); target=0.6",
+                  file=sys.stderr)
+            target = 0.6
+        bias, rate = calibrate_blank_bias(bundle, target)
+        print(
+            f"# trained-bundle emission rate {target:.2f} tok/chunk; "
+            f"flagship proxy calibrated to {rate:.2f} at blank_bias {bias:.2f}",
+            file=sys.stderr,
+        )
 
     best = 0.0
     for n_buffer in (1, 2):
         budget = chunk_s * n_buffer
         for n in candidates:
             try:
-                t = time_engine(bundle, n, n_buffer=n_buffer)
+                wk = (
+                    tone_workload(n, n_buffer, int(chunk_s * 16000))
+                    if trained else None
+                )
+                t = time_engine(bundle, n, n_buffer=n_buffer, workload=wk)
             except Exception as e:  # OOM etc.
                 print(f"# n={n} nb={n_buffer} failed: {e}", file=sys.stderr)
                 break

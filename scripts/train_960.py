@@ -65,9 +65,18 @@ def build_csvs(splits: dict, out_dir: str, workers: int = 8):
             create_dataset(path, "librispeech", workers=workers)
         df = pd.read_csv(csv)
         df = df[~df["bad"].astype(bool)].copy()
-        df["file"] = df["file"].map(
-            lambda p: p if os.path.isabs(str(p)) else os.path.join(path, str(p))
-        )
+
+        # create_dataset writes root-prefixed relative paths when the
+        # recipe ran with a relative --root: re-joining those against
+        # the split dir would double the prefix, so only join paths
+        # that don't already resolve — then pin everything absolute
+        def _fix(p):
+            p = str(p)
+            if not (os.path.isabs(p) or os.path.exists(p)):
+                p = os.path.join(path, p)
+            return os.path.abspath(p)
+
+        df["file"] = df["file"].map(_fix)
         return df
 
     train_parts = [split_df(s) for s in TRAIN_SPLITS if s in splits]
@@ -87,6 +96,9 @@ def build_csvs(splits: dict, out_dir: str, workers: int = 8):
         df.to_csv(p, index=False)
         hours = df["xlen"].sum() / 3_600_000.0
         print(f"[train-960] {name}: {len(df)} utts, {hours:.1f} h -> {p}")
+    missing = [p for p in train["file"].head(20) if not os.path.exists(p)]
+    if missing:
+        raise SystemExit(f"[train-960] resolved audio paths missing: {missing[:3]}")
     return train
 
 
@@ -123,6 +135,9 @@ def main(argv=None):
                    help="BPE vocab (default: config wanted_vocab_sz)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--eval-batches", type=int, default=16)
+    p.add_argument("--eval-every", type=int, default=250,
+                   help="eval cadence in steps (small corpora make the "
+                        "reference's tests-per-epoch cadence pathological)")
     p.add_argument("--skip-final-eval", action="store_true")
     a = p.parse_args(argv)
 
@@ -182,6 +197,7 @@ def main(argv=None):
         "--config", gen_conf, "--ckpt", ckpt, "--bundle-out", bundle_out,
         "--logdir", os.path.join(out, "runs"),
         "--eval-batches", str(a.eval_batches),
+        "--eval-every", str(a.eval_every),
     ]
     if a.steps:
         args += ["--steps", str(a.steps)]

@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--logdir", default="runs/libreasr")
     p.add_argument("--mesh-model", type=int, default=0, help="override TP axis size")
     p.add_argument("--eval-batches", type=int, default=16)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="eval every N steps (0 = tests_per_epoch auto)")
     p.add_argument("--dist-coordinator", default="",
                    help="host:port for multi-host training (every process "
                         "runs this CLI with the same args + its --dist-pid)")
@@ -153,7 +155,9 @@ def main(argv=None):
     bundle = ASRBundle(conf, model, dict(variables), lang)
     logger = TrainLogger(args.logdir, use_wandb=conf.get("wandb", False), conf=conf)
 
-    epochs = tconf.get("epochs", 20)
+    # --steps is the stop condition when given; epoch count must not
+    # truncate it first (small corpora have tiny epochs)
+    epochs = 10**9 if args.steps else tconf.get("epochs", 20)
     tests_per_epoch = conf.get("tests_per_epoch", 8)
     step = start_step
     metrics = {"loss": float("nan")}
@@ -187,7 +191,11 @@ def main(argv=None):
                         "dataset paths, bucket ladder (max_samples/y_max), "
                         "and that utterances survive the transform pipeline"
                     )
-                eval_every = max(len(batches) // max(tests_per_epoch, 1), 1)
+                eval_every = (
+                    args.eval_every
+                    if args.eval_every > 0
+                    else max(len(batches) // max(tests_per_epoch, 1), 1)
+                )
             for bi, batch in enumerate(batches):
                 metrics = learner.step(to_global(batch) if multiproc else batch)
                 # host-side step counter: int(learner.state.step) would
