@@ -169,9 +169,19 @@ class BucketBatcher:
         if not self.drop_last:
             for b in self.buckets:
                 rest = pending[b.key]
-                # drop bs==1 leftovers (BatchNorm needs n>1, data.py:198)
-                if len(rest) > 1:
-                    yield self._emit(b, rest)
+                # ragged leftovers are emitted in power-of-two sub-batches:
+                # an arbitrary remainder size would be a NEW compiled
+                # program shape every epoch (the remainder varies with
+                # shuffling/augmentation), silently costing a full
+                # train-step recompile per epoch — the exact dynamic-shape
+                # poison this batcher exists to prevent. Power-of-two
+                # chunks bound the shape set to log2(bs) per bucket.
+                # bs==1 leftovers are dropped (BatchNorm needs n>1,
+                # reference data.py:198).
+                while len(rest) > 1:
+                    k = 1 << (len(rest).bit_length() - 1)  # largest 2^m <= n
+                    yield self._emit(b, rest[:k])
+                    rest = rest[k:]
 
 
 class ASRDataset:

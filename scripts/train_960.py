@@ -166,6 +166,12 @@ def main(argv=None):
     # dataset + tokenizer wiring
     conf["datasets"] = ["ls960"]
     conf["dataset_paths"] = {"ls960": out}
+    # the host pipeline must keep the chip fed — the config default
+    # (3 workers, reference num_workers) starves a 26 ms step
+    conf["num_workers"] = max(int(conf.get("num_workers", 3)), a.workers)
+    # full-shape batches only: ragged tails cost compiled programs and
+    # the shuffled spill trains on everything across epochs anyway
+    conf["drop_last"] = True
     tok_file = os.path.join(out, "tokenizer.bpe-model")
     conf.setdefault("tokenizer", {})["model_file"] = tok_file
     conf["train_tokenizer"] = False

@@ -229,3 +229,20 @@ def test_common_voice_mp3_tree(tmp_path):
     assert (df["sr"] == 16000).all()
     # durations within mp3 frame-padding slack of the encoded signal
     assert (df["xlen"] > 900).all() and (df["xlen"] < 2400).all()
+
+
+def test_batcher_leftovers_power_of_two(rng):
+    """Ragged bucket leftovers must come out in power-of-two sub-batches
+    (bounded compiled-shape set): an epoch-varying remainder size would
+    recompile the train step every epoch."""
+    bucket = Bucket(max_samples=800, max_tokens=8, bs=16)
+    items = [
+        {"audio": np.zeros(700, np.float32), "ids": [1, 2, 3]}
+        for _ in range(27)  # 16 + ragged 11 -> 8 + 2 (+1 dropped)
+    ]
+    bb = BucketBatcher([bucket], shuffle=False, drop_last=False)
+    sizes = [b.audio.shape[0] for b in bb.batches(iter(items))]
+    assert sizes == [16, 8, 2]
+    bb = BucketBatcher([bucket], shuffle=False, drop_last=True)
+    sizes = [b.audio.shape[0] for b in bb.batches(iter(items))]
+    assert sizes == [16]
