@@ -115,33 +115,42 @@ def write_ogg(path: str, pcm: np.ndarray, sr: int, quality: float = 0.4) -> None
         raise AudioReadError(f"ogg encode failed rc={rc} (host libvorbis missing?)")
 
 
-def have_ogg() -> bool:
-    """True when the host vorbis libraries back the ogg path."""
-    if audio_lib() is None:
-        return False
+def _dlopen_any(names) -> bool:
     import ctypes as _c
 
-    try:
-        _c.CDLL("libvorbisfile.so.3")
-        return True
-    except OSError:
-        return False
-
-
-def have_mp3() -> bool:
-    """True when the host codec libraries back the mp3 path."""
-    lib = audio_lib()
-    if lib is None:
-        return False
-    import ctypes as _c
-
-    for so in ("libmpg123.so.0", "libmpg123.so"):
+    for so in names:
         try:
             _c.CDLL(so)
             return True
         except OSError:
             continue
     return False
+
+
+def have_ogg() -> bool:
+    """True when the host vorbis libraries back BOTH the ogg decode and
+    encode paths. The encoder matters because every caller of this gate
+    (tests, fixture synthesis) writes its own ogg first — a host with
+    vorbisfile but no libvorbisenc must skip, not fail mid-test."""
+    if audio_lib() is None:
+        return False
+    return (
+        _dlopen_any(("libvorbisfile.so.3", "libvorbisfile.so"))
+        and _dlopen_any(("libogg.so.0", "libogg.so"))
+        and _dlopen_any(("libvorbis.so.0", "libvorbis.so"))
+        and _dlopen_any(("libvorbisenc.so.2", "libvorbisenc.so"))
+    )
+
+
+def have_mp3() -> bool:
+    """True when the host codec libraries back BOTH mp3 decode
+    (libmpg123) and encode (libmp3lame) — see have_ogg on why the
+    encoder is part of the gate."""
+    if audio_lib() is None:
+        return False
+    return _dlopen_any(("libmpg123.so.0", "libmpg123.so")) and _dlopen_any(
+        ("libmp3lame.so.0", "libmp3lame.so")
+    )
 
 
 def verify_flac_md5(path: str) -> bool:

@@ -70,10 +70,13 @@ def buckets_from_histogram(
         y_max = int(np.quantile(ylen[in_b], 0.98)) + 2
         bs = max(min(frame_budget // max(mel_frames, 1), bs_max), data_axis)
         # never exceed the bucket's population: with drop_last (mesh
-        # training) an oversized bs would yield zero batches on small
-        # corpora (the mock-recipe case)
-        bs = min(bs, max(int(in_b.sum()), data_axis))
-        bs = max((bs // data_axis) * data_axis, data_axis)
+        # training) an oversized bs would yield zero batches and the
+        # bucket's members would silently never train. A bucket too
+        # small to fill one mesh-divisible batch is skipped entirely —
+        # pick_bucket then routes its members into the next-larger
+        # bucket (only the longest bucket's members are dropped, which
+        # matches the limits semantics for over-long utterances).
+        bs = (min(bs, int(in_b.sum())) // data_axis) * data_axis
         if bs < 2:  # bs==1 batches are dropped (BatchNorm)
             continue
         samples = mel_frames * int(sr * 0.01)

@@ -19,6 +19,26 @@ import pandas as pd
 CSV_COLUMNS = ["file", "xstart", "xlen", "label", "ylen", "sr", "bad"]
 
 
+def resolve_audio_paths(df: pd.DataFrame, root: str, absolute: bool = False):
+    """Resolve the CSV `file` column against the dataset dir `root`.
+
+    Relative paths are joined unless they already resolve — the
+    create_dataset CLI writes root-prefixed relative paths when invoked
+    with a relative root, and joining those again would double the
+    prefix. `absolute=True` additionally pins every path with abspath
+    (the 960 recipe merges per-split CSVs into one out dir, where
+    relative paths must not survive)."""
+
+    def _resolve(p):
+        p = str(p)
+        if not (os.path.isabs(p) or os.path.exists(p)):
+            p = os.path.join(root, p)
+        return os.path.abspath(p) if absolute else p
+
+    df["file"] = df["file"].map(_resolve)
+    return df
+
+
 @dataclass
 class ASRDatasetBuilder:
     df: pd.DataFrame
@@ -35,19 +55,7 @@ class ASRDatasetBuilder:
                 csv = os.path.join(path, "asr-dataset.csv")
             df = pd.read_csv(csv)
 
-            # resolve relative audio paths against the dataset dir —
-            # unless the CSV already embeds the dataset prefix (the
-            # create_dataset CLI writes root-prefixed paths when invoked
-            # with a relative root), in which case joining again would
-            # double the prefix
-            def _resolve(p):
-                p = str(p)
-                if os.path.isabs(p) or os.path.exists(p):
-                    return p
-                return os.path.join(path, p)
-
-            df["file"] = df["file"].map(_resolve)
-            frames.append(df)
+            frames.append(resolve_audio_paths(df, path))
         if not frames:
             df = pd.DataFrame(columns=CSV_COLUMNS)
         else:

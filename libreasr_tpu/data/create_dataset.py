@@ -26,7 +26,7 @@ import pandas as pd
 from ..utils import sanitize_str
 from . import audio as audio_io
 
-AUDIO_EXTS = (".flac", ".wav", ".mp3", ".ogg")
+AUDIO_EXTS = (".flac", ".wav", ".mp3", ".ogg", ".oga")
 
 
 def audio_files(path: str):

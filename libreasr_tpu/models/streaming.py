@@ -612,6 +612,19 @@ class StreamingEngine:
         for i in range(self.n):
             if self.active[i]:
                 avail[i] = min(len(self.sample_buf[i]) // need, k)
+        # Silence auto-resets can only be APPLIED at a chain's first
+        # sub-step, so cap each slot's depth at the number of steps
+        # until its silence threshold could cross: the threshold is
+        # then reached, at the earliest, on the chain's LAST sub-step
+        # and the pending reset applies at the next dispatch — the
+        # exact sequential cadence. (Uncapped, a mid-chain crossing
+        # would decode the remaining sub-steps with un-reset state and
+        # diverge from k sequential steps.) Any emission resets the
+        # silence counter, so the cap is conservative, never wrong.
+        step_ms = scfg.chunk_ms * scfg.n_buffer
+        for i in np.nonzero(avail)[0]:
+            m = -(-(scfg.reset_thresh_ms - int(self.silence_ms[i])) // step_ms)
+            avail[i] = min(int(avail[i]), max(m, 1))
         if not avail.any():
             return None
         chunks = np.zeros((k, self.n, scfg.n_buffer, c), np.float32)

@@ -569,13 +569,27 @@ int la_read_mp3(const char* path, float** out, int64_t* n_out, int* sr_out,
       pcm.insert(pcm.end(), f, f + done / sizeof(float));
     }
     if (rc == LA_MPG123_NEW_FORMAT) {
-      // mid-stream format change: refresh (rate/ch may differ)
-      if (m->getformat_(h, &rate, &ch, &enc) != 0 ||
+      // format (re)announcement: refresh rate/ch. A change AFTER pcm
+      // has accumulated (concatenated VBR streams switching rate or
+      // channel count) cannot be represented in one (sr, ch) result —
+      // the already-decoded samples would be reinterpreted under the
+      // new interleave/rate — so that case is a hard error, not a
+      // silent refresh.
+      long rate2 = rate;
+      int ch2 = ch;
+      if (m->getformat_(h, &rate2, &ch2, &enc) != 0 ||
           enc != LA_MPG123_ENC_FLOAT_32) {
         m->close_(h);
         m->delete_(h);
         return -24;
       }
+      if (!pcm.empty() && (rate2 != rate || ch2 != ch)) {
+        m->close_(h);
+        m->delete_(h);
+        return -26;  // mid-stream sr/ch change: unsupported
+      }
+      rate = rate2;
+      ch = ch2;
       continue;
     }
     if (rc != 0) break;  // MPG123_DONE or error with no more data
@@ -758,8 +772,11 @@ int la_write_ogg(const char* path, const float* pcm, int64_t n, int sr,
   if (!tried) {
     tried = 1;
     dlo = dlopen("libogg.so.0", RTLD_NOW | RTLD_GLOBAL);
+    if (!dlo) dlo = dlopen("libogg.so", RTLD_NOW | RTLD_GLOBAL);
     dlv = dlopen("libvorbis.so.0", RTLD_NOW | RTLD_GLOBAL);
+    if (!dlv) dlv = dlopen("libvorbis.so", RTLD_NOW | RTLD_GLOBAL);
     dle = dlopen("libvorbisenc.so.2", RTLD_NOW | RTLD_GLOBAL);
+    if (!dle) dle = dlopen("libvorbisenc.so", RTLD_NOW | RTLD_GLOBAL);
   }
   if (!dlv || !dle || !dlo) return -20;
   void (*vi_init)(void*) = (void (*)(void*))dlsym(dlv, "vorbis_info_init");
@@ -800,20 +817,24 @@ int la_write_ogg(const char* path, const float* pcm, int64_t n, int sr,
       !os_pageout || !os_flush || !os_clear)
     return -21;
 
+  // open the output BEFORE initializing any codec state, so the
+  // unwritable-path failure leaks nothing (batch converts over
+  // read-only trees hit this per file)
+  FILE* f = fopen(path, "wb");
+  if (!f) return -24;
+
   std::vector<unsigned char> vi(8192, 0), vd(8192, 0), vb(8192, 0),
       vc(8192, 0), os(8192, 0);
   vi_init(vi.data());
   if (enc_init(vi.data(), 1, sr, quality) != 0) {
     info_clear(vi.data());
+    fclose(f);
     return -22;
   }
   comment_init(vc.data());
   an_init(vd.data(), vi.data());
   blk_init(vd.data(), vb.data());
   os_init(os.data(), 1);
-
-  FILE* f = fopen(path, "wb");
-  if (!f) return -24;
   LaOggPacket hdr, hdr_comm, hdr_code;
   headerout(vd.data(), vc.data(), &hdr, &hdr_comm, &hdr_code);
   os_packetin(os.data(), &hdr);

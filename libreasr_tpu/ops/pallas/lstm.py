@@ -591,6 +591,17 @@ def lstm_pack_train_pallas(
             x, params.kernel, preferred_element_type=jnp.float32
         ) + params.bias
         r = params.recurrent_kernel
+    # Same VMEM-residency budget RNNLayer._pallas_train_eligible
+    # enforces before routing here: R lives in VMEM for the whole grid,
+    # and an over-budget R fails deep inside Mosaic — direct callers
+    # (benches, scripts) get a clear error instead.
+    if not interpret and jax.default_backend() == "tpu":
+        if r.shape[0] * r.shape[1] * r.dtype.itemsize > 9 * 2**20:
+            raise ValueError(
+                f"recurrent kernel {r.shape} {r.dtype} exceeds the VMEM "
+                f"residency budget for the fused training kernel; pass "
+                f"compute_dtype=jnp.bfloat16 or use the scan path"
+            )
     # R residency dtype follows the training compute policy: a bf16
     # policy gets bf16 R in VMEM (f32 accumulation; the cast sits
     # outside the custom_vjp so dR accumulates back into f32 params).

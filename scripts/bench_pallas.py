@@ -125,7 +125,9 @@ def train_main(args):
         return jax.grad(lambda xx: jnp.sum(fn(xx, state, params)[0]))(x)
 
     g_ref = gx(lambda x, s, p: rnn.lstm_scan(x, s, p))
-    g_p = gx(lambda x, s, p: lstm_pack_train_pallas(x, s, p, None))
+    g_p = gx(lambda x, s, p: lstm_pack_train_pallas(
+        x, s, p, None, compute_dtype=jnp.bfloat16
+    ))
     err = float(jnp.max(jnp.abs(g_ref - g_p)))
     rel = err / float(jnp.max(jnp.abs(g_ref)))
     print(f"\nmax |dx_scan_f32 - dx_pallas| @ N={n},T={t}: {err:.2e} "

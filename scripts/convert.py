@@ -46,7 +46,7 @@ def main():
     n = 0
     for root, _, files in os.walk(a.path):
         for f in files:
-            if f.lower().endswith((".flac", ".wav", ".mp3", ".ogg")) and ".16k." not in f:
+            if f.lower().endswith((".flac", ".wav", ".mp3", ".ogg", ".oga")) and ".16k." not in f:
                 out = convert_file(os.path.join(root, f), a.sr)
                 n += 1
                 if n % 100 == 0:

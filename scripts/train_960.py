@@ -66,18 +66,9 @@ def build_csvs(splits: dict, out_dir: str, workers: int = 8):
         df = pd.read_csv(csv)
         df = df[~df["bad"].astype(bool)].copy()
 
-        # create_dataset writes root-prefixed relative paths when the
-        # recipe ran with a relative --root: re-joining those against
-        # the split dir would double the prefix, so only join paths
-        # that don't already resolve — then pin everything absolute
-        def _fix(p):
-            p = str(p)
-            if not (os.path.isabs(p) or os.path.exists(p)):
-                p = os.path.join(path, p)
-            return os.path.abspath(p)
+        from libreasr_tpu.data.builder import resolve_audio_paths
 
-        df["file"] = df["file"].map(_fix)
-        return df
+        return resolve_audio_paths(df, path, absolute=True)
 
     train_parts = [split_df(s) for s in TRAIN_SPLITS if s in splits]
     if not train_parts:
@@ -102,11 +93,30 @@ def build_csvs(splits: dict, out_dir: str, workers: int = 8):
     return train
 
 
-def derive_buckets(train_df, conf, n_buckets: int, data_axis: int):
+def derive_buckets(conf, n_buckets: int, data_axis: int):
+    """Bucket ladder from the histogram of what the loader will
+    actually yield: the builder's training-time limits
+    (almins/almaxs/y_min/y_max, reference config:166-172) are applied
+    first — deriving from the raw CSV would size edges for utterances
+    the limits discard — and label lengths are measured in BPE tokens
+    (what Bucket.max_tokens compares against at batch time), not the
+    CSV's character counts."""
     from libreasr_tpu.data.batching import buckets_from_histogram
+    from libreasr_tpu.data.builder import ASRDatasetBuilder
+    from libreasr_tpu.data.language import get_language
+
+    b = ASRDatasetBuilder.from_config(conf, "train")
+    lang, _ = get_language(model_file=conf["tokenizer"]["model_file"])
+    ylen_tok = [
+        len(lang.numericalize(t)) for t in b.df["label"].astype(str)
+    ]
+    print(f"[train-960] post-limit corpus: {len(b.df)} utts, "
+          f"{b.df['xlen'].sum() / 3_600_000.0:.1f} h "
+          f"(almaxs {conf.get('almaxs', 6.0)} s, "
+          f"y_max {conf.get('y_max', 60)} chars)")
 
     buckets = buckets_from_histogram(
-        train_df["xlen"], train_df["ylen"], sr=conf.get("sr", 16000),
+        b.df["xlen"], ylen_tok, sr=conf.get("sr", 16000),
         n_buckets=n_buckets, data_axis=data_axis,
     )
     print(f"[train-960] bucket ladder from length histogram:")
@@ -161,7 +171,7 @@ def main(argv=None):
     out = a.out
     os.makedirs(out, exist_ok=True)
     conf = open_config(a.config)
-    train_df = build_csvs(splits, out, workers=a.workers)
+    build_csvs(splits, out, workers=a.workers)
 
     # dataset + tokenizer wiring
     conf["datasets"] = ["ls960"]
@@ -187,7 +197,7 @@ def main(argv=None):
     data_axis = max(len(jax.devices()), 1)
     if (conf.get("mesh", {}) or {}).get("model", 1) > 1:
         data_axis = max(data_axis // conf["mesh"]["model"], 1)
-    conf["buckets"] = derive_buckets(train_df, conf, a.n_buckets, data_axis)
+    conf["buckets"] = derive_buckets(conf, a.n_buckets, data_axis)
 
     gen_conf = os.path.join(out, "train960.yaml")
     with open(gen_conf, "w") as f:

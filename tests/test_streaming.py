@@ -246,3 +246,37 @@ def test_chained_dispatch_reset_semantics(bundle, rng):
     p = eng.step_dispatch_chained(4)
     eng.step_collect(p)
     assert list(eng.emitted[s2]) == first  # fresh state -> same decode
+
+
+def test_chained_dispatch_caps_at_silence_threshold(bundle, rng):
+    """A chain must never cross a slot's silence auto-reset threshold
+    mid-chain: resets apply only at sub-step 0, so the dispatcher caps
+    each slot's depth at the steps remaining until its threshold —
+    crossing can then happen only on the chain's LAST sub-step, the
+    exact sequential cadence. Structural check: with silence one step
+    short of the threshold, a k=4 chain takes exactly ONE sub-step."""
+    audio = (rng.standard_normal(1280 * 6) * 0.1).astype(np.float32)
+    scfg = StreamingConfig(sr=bundle.frontend.sr, reset_thresh_ms=160)
+
+    def run(chained: bool):
+        eng = StreamingEngine(bundle, n_streams=1, scfg=scfg)
+        s = eng.open_slot()
+        eng.append_samples(s, audio)
+        step_ms = eng.scfg.chunk_ms * eng.scfg.n_buffer
+        eng.silence_ms[s] = eng.scfg.reset_thresh_ms - step_ms
+        caps = []
+        if chained:
+            while (p := eng.step_dispatch_chained(4)) is not None:
+                caps.append(int(np.asarray(p[1], bool).sum()))
+                eng.step_collect(p)
+        else:
+            while (p := eng.step_dispatch()) is not None:
+                eng.step_collect(p)
+        return list(eng.emitted[s]), eng.drain(s), caps
+
+    seq_em, seq_txt, _ = run(False)
+    cha_em, cha_txt, caps = run(True)
+    assert cha_em == seq_em and cha_txt == seq_txt
+    # first chain is depth-capped to 1 sub-step by the pending threshold
+    assert caps[0] == 1
+    assert seq_em  # random weights emit — the equality is not vacuous
