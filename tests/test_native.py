@@ -185,3 +185,99 @@ def test_ogg_decode_vs_wav_twin(tmp_path):
     m = min(pcm.shape[1], len(ref))
     rmse = float(np.sqrt(np.mean((pcm[0][:m] - ref[:m]) ** 2)))
     assert rmse < 0.02, rmse
+
+
+def test_oga_extension_routes_to_ogg_decoder(tmp_path):
+    """CommonVoice ships `.oga` files; the facade must route them to the
+    Vorbis decoder exactly like `.ogg` (create_dataset AUDIO_EXTS)."""
+    from libreasr_tpu.data.audio import have_ogg, write_ogg
+
+    if not have_ogg():
+        pytest.skip("host has no libvorbis")
+    sr = 16000
+    ref = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(
+        np.float32
+    )
+    ogg = str(tmp_path / "clip.ogg")
+    write_ogg(ogg, ref, sr)
+    oga = str(tmp_path / "clip.oga")
+    os.rename(ogg, oga)
+    pcm, got_sr = read_audio(oga)
+    assert got_sr == sr and pcm.shape[0] == 1 and pcm.shape[1] > sr // 2
+
+
+@pytest.mark.parametrize("ext", [".mp3", ".ogg"])
+def test_garbage_compressed_file_raises(tmp_path, ext):
+    """Corrupt/garbage compressed input must raise AudioReadError — not
+    crash the process or silently return empty PCM (create_dataset marks
+    such rows bad via the exception path)."""
+    from libreasr_tpu.data.audio import AudioReadError, have_mp3, have_ogg
+
+    if ext == ".mp3" and not have_mp3():
+        pytest.skip("host has no libmpg123")
+    if ext == ".ogg" and not have_ogg():
+        pytest.skip("host has no libvorbis")
+    p = str(tmp_path / f"garbage{ext}")
+    with open(p, "wb") as f:
+        f.write(b"\x00\x01garbage-not-audio" * 64)
+    with pytest.raises(AudioReadError):
+        read_audio(p)
+
+
+def test_truncated_ogg_raises_or_decodes_prefix(tmp_path):
+    """An ogg cut mid-stream must either raise cleanly or yield a PCM
+    prefix — never crash, never return data past the truncation point."""
+    from libreasr_tpu.data.audio import AudioReadError, have_ogg, write_ogg
+
+    if not have_ogg():
+        pytest.skip("host has no libvorbis")
+    sr = 16000
+    ref = (0.3 * np.sin(2 * np.pi * 440 * np.arange(2 * sr) / sr)).astype(
+        np.float32
+    )
+    p = str(tmp_path / "whole.ogg")
+    write_ogg(p, ref, sr)
+    raw = open(p, "rb").read()
+    cut = str(tmp_path / "cut.ogg")
+    with open(cut, "wb") as f:
+        f.write(raw[: len(raw) // 2])
+    try:
+        pcm, got_sr = read_audio(cut)
+    except AudioReadError:
+        return  # clean refusal is acceptable
+    assert got_sr == sr
+    assert pcm.shape[1] <= len(ref)
+
+
+def test_unwritable_encode_path_fails_cleanly(tmp_path):
+    """Encoding to an unwritable path must raise AudioReadError (batch
+    converts over read-only trees hit this per file) and leak nothing —
+    repeated failures must not accumulate codec state."""
+    from libreasr_tpu.data.audio import (
+        AudioReadError, have_mp3, have_ogg, write_mp3, write_ogg,
+    )
+
+    pcm = np.zeros(1600, np.float32)
+    bad = str(tmp_path / "no-such-dir" / "out")
+    wrote_any = False
+    if have_mp3():
+        wrote_any = True
+        for _ in range(3):
+            with pytest.raises(AudioReadError):
+                write_mp3(bad + ".mp3", pcm, 16000)
+    if have_ogg():
+        wrote_any = True
+        for _ in range(3):
+            with pytest.raises(AudioReadError):
+                write_ogg(bad + ".ogg", pcm, 16000)
+    if not wrote_any:
+        pytest.skip("host has no mp3/ogg encoders")
+
+
+def test_unsupported_extension_raises(tmp_path):
+    from libreasr_tpu.data.audio import AudioReadError
+
+    p = str(tmp_path / "x.m4a")
+    open(p, "wb").write(b"\x00" * 64)
+    with pytest.raises(AudioReadError):
+        read_audio(p)
