@@ -39,15 +39,25 @@ sys.path.insert(0, REPO)
 
 
 def run_server(port: int, n_streams: int, n_buffer: int, beam: int,
-               blank_bias: float):
+               blank_bias: float, bundle_path: str = ""):
     from bench import build_bundle, set_blank_bias
     from libreasr_tpu.models.streaming import StreamingConfig, StreamingEngine
     from libreasr_tpu.serving.server import make_server
     from libreasr_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    bundle = build_bundle()
-    set_blank_bias(bundle, blank_bias)
+    if bundle_path:
+        # a TRAINED bundle (e.g. the tone-corpus flagship the 960 recipe
+        # exports) replaces the blank-biased random proxy: real weights,
+        # natural emission rate
+        from libreasr_tpu.api import ASRBundle
+
+        bundle = ASRBundle.from_bundle(
+            bundle_path, extract_to="./tmp/bench_serving_bundle"
+        )
+    else:
+        bundle = build_bundle()
+        set_blank_bias(bundle, blank_bias)
     scfg = StreamingConfig(
         sr=bundle.frontend.sr, n_buffer=n_buffer, beam_width=beam
     )
@@ -143,10 +153,14 @@ def main():
     p.add_argument("--blank-bias", type=float, default=0.0,
                    help="0 = saturated emission (decode upper bound), "
                         "6 = pure blank (lower bound)")
+    p.add_argument("--bundle", default="",
+                   help="serve this trained .tar.gz bundle instead of "
+                        "the blank-biased random proxy")
     a = p.parse_args()
 
     if a.role == "server":
-        run_server(a.port, a.streams, a.n_buffer, a.beam, a.blank_bias)
+        run_server(a.port, a.streams, a.n_buffer, a.beam, a.blank_bias,
+                   a.bundle)
         return
 
     env = dict(os.environ)
@@ -154,7 +168,8 @@ def main():
         [sys.executable, os.path.abspath(__file__), "--role", "server",
          "--port", str(a.port), "--streams", str(a.streams),
          "--n-buffer", str(a.n_buffer), "--beam", str(a.beam),
-         "--blank-bias", str(a.blank_bias)],
+         "--blank-bias", str(a.blank_bias)]
+        + (["--bundle", os.path.abspath(a.bundle)] if a.bundle else []),
         env=env, cwd=REPO, stdout=subprocess.PIPE, text=True,
     )
     try:
