@@ -253,10 +253,15 @@ def main():
     # scripts/train_960.py produce one in ~15 min on one chip) replaces
     # the calibrated random-weight proxy whenever present: real weights,
     # real emissions on matching (tone-speech) audio
-    trained_path = os.environ.get(
-        "LIBREASR_BENCH_BUNDLE", "tmp/flagship_tone/model.tar.gz"
-    )
+    env_path = os.environ.get("LIBREASR_BENCH_BUNDLE")
+    trained_path = env_path or "tmp/flagship_tone/model.tar.gz"
     trained = os.path.exists(trained_path)
+    if env_path and not trained:
+        # an explicitly requested bundle must not silently degrade to
+        # the proxy — the JSON result line would misattribute the run
+        raise FileNotFoundError(
+            f"LIBREASR_BENCH_BUNDLE={env_path} does not exist"
+        )
     if trained:
         from libreasr_tpu.api import ASRBundle
 
@@ -290,7 +295,10 @@ def main():
         for n in candidates:
             try:
                 wk = (
-                    tone_workload(n, n_buffer, int(chunk_s * 16000))
+                    tone_workload(
+                        n, n_buffer,
+                        int(chunk_s * bundle.frontend.sr),
+                    )
                     if trained else None
                 )
                 t = time_engine(bundle, n, n_buffer=n_buffer, workload=wk)

@@ -115,42 +115,24 @@ def write_ogg(path: str, pcm: np.ndarray, sr: int, quality: float = 0.4) -> None
         raise AudioReadError(f"ogg encode failed rc={rc} (host libvorbis missing?)")
 
 
-def _dlopen_any(names) -> bool:
-    import ctypes as _c
-
-    for so in names:
-        try:
-            _c.CDLL(so)
-            return True
-        except OSError:
-            continue
-    return False
-
-
 def have_ogg() -> bool:
     """True when the host vorbis libraries back BOTH the ogg decode and
     encode paths. The encoder matters because every caller of this gate
     (tests, fixture synthesis) writes its own ogg first — a host with
-    vorbisfile but no libvorbisenc must skip, not fail mid-test."""
-    if audio_lib() is None:
-        return False
-    return (
-        _dlopen_any(("libvorbisfile.so.3", "libvorbisfile.so"))
-        and _dlopen_any(("libogg.so.0", "libogg.so"))
-        and _dlopen_any(("libvorbis.so.0", "libvorbis.so"))
-        and _dlopen_any(("libvorbisenc.so.2", "libvorbisenc.so"))
-    )
+    vorbisfile but no libvorbisenc must skip, not fail mid-test.
+    Delegates to the native la_have_ogg probe, which exercises the same
+    dlopen loaders the decode/encode paths use (single source of
+    truth)."""
+    lib = audio_lib()
+    return lib is not None and bool(lib.la_have_ogg())
 
 
 def have_mp3() -> bool:
     """True when the host codec libraries back BOTH mp3 decode
     (libmpg123) and encode (libmp3lame) — see have_ogg on why the
-    encoder is part of the gate."""
-    if audio_lib() is None:
-        return False
-    return _dlopen_any(("libmpg123.so.0", "libmpg123.so")) and _dlopen_any(
-        ("libmp3lame.so.0", "libmp3lame.so")
-    )
+    encoder is part of the gate and where the truth lives."""
+    lib = audio_lib()
+    return lib is not None and bool(lib.la_have_mp3())
 
 
 def verify_flac_md5(path: str) -> bool:

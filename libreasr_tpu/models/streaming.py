@@ -37,6 +37,12 @@ from .decode import DecodeState, DecoderFns, decode_frame, init_decode_state
 from .transducer import learnable_states
 
 
+# backlog-recovery chain depths the serving stepper escalates through
+# (powers of two; the last is its cap). warmup(chain_depths=CHAIN_DEPTHS)
+# precompiles all of them before traffic.
+CHAIN_DEPTHS = (2, 4, 8)
+
+
 @dataclass(frozen=True)
 class StreamingConfig:
     sr: int = 16000
@@ -221,6 +227,11 @@ class StreamingEngine:
         # latched once a stream emits EOS: suppress post-terminal tokens
         # until the next reset (silence auto-reset or reopen)
         self._eos_done = np.zeros(self.n, bool)
+        # sub-steps dispatched but not yet collected per slot (the
+        # serving stepper pipelines dispatch ahead of collect): silence
+        # bookkeeping for those steps hasn't landed yet, so dispatch-time
+        # silence projections must assume the worst case (all silent)
+        self._inflight = np.zeros(self.n, np.int64)
 
     # ------------------------------------------------------------------
 
@@ -481,6 +492,7 @@ class StreamingEngine:
                 self._flushed[i] = False
                 self._pending_reset[i] = True
                 self._reset_epoch[i] += 1  # invalidate in-flight collects
+                self._inflight[i] = 0  # fresh stream: old steps are stale
                 return i
         raise RuntimeError("no free stream slots")
 
@@ -544,7 +556,11 @@ class StreamingEngine:
         on a tunneled chip the transfer is ~99% of step wall time)."""
         scfg = self.scfg
         c, need = scfg.chunk_samples, self.samples_per_step
-        ready = self.ready_slots()
+        # a slot whose IN-FLIGHT (dispatched, uncollected) steps may
+        # cross its silence threshold must wait for their collect: the
+        # auto-reset they'd set has to apply before the slot steps
+        # again, or its decode diverges from the sequential cadence
+        ready = [i for i in self.ready_slots() if not self._silence_gated(i)]
         if not ready:
             return None
         chunks = np.zeros((self.n, scfg.n_buffer, c), np.float32)
@@ -560,7 +576,20 @@ class StreamingEngine:
         # skips slots whose epoch advanced past the dispatch-time value
         self._reset_epoch[reset] += 1
         self._pending_reset_arr[valid] = False
+        self._inflight[valid] += 1
         return (packed, valid, self._reset_epoch.copy())
+
+    def _silence_gated(self, i: int) -> bool:
+        """True when slot i's worst-case silence — counting every
+        in-flight sub-step as silent — has already reached the auto-
+        reset threshold. Conservative: an emission in flight resets the
+        real counter at collect, costing the slot one pacing cycle of
+        deferral at most."""
+        if self._inflight[i] == 0:
+            return False
+        step_ms = self.scfg.chunk_ms * self.scfg.n_buffer
+        worst = int(self.silence_ms[i]) + int(self._inflight[i]) * step_ms
+        return worst >= self.scfg.reset_thresh_ms
 
     def backlog_depth(self) -> int:
         """Max full chunk-steps buffered across active slots — the
@@ -599,6 +628,27 @@ class StreamingEngine:
             self._step_chain[k] = fn
         return fn
 
+    def _run_chain(self, k: int, chunks, valid, reset):
+        """Execute the k-chained device step (shared by dispatch and
+        warmup precompile). Threads the donated stream state; returns
+        the packed per-sub-step outputs [k, N, K_tok+1]."""
+        self._ensure_state()
+        ch = jnp.asarray(chunks)
+        va = jnp.asarray(valid)
+        re = jnp.asarray(reset)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def sh(x):
+                spec = PartitionSpec(*((None, "data") + (None,) * (x.ndim - 2)))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            ch, va, re = sh(ch), sh(va), sh(re)
+        self.state, packs = self._chained_step_fn(k)(
+            self.bundle.variables, self.state, ch, va, re, self._fresh_dec
+        )
+        return packs
+
     def step_dispatch_chained(self, k: int):
         """Chained variant of step_dispatch: consume up to k buffered
         chunk-steps per slot in ONE device program. Slots with shorter
@@ -623,8 +673,15 @@ class StreamingEngine:
         # silence counter, so the cap is conservative, never wrong.
         step_ms = scfg.chunk_ms * scfg.n_buffer
         for i in np.nonzero(avail)[0]:
-            m = -(-(scfg.reset_thresh_ms - int(self.silence_ms[i])) // step_ms)
-            avail[i] = min(int(avail[i]), max(m, 1))
+            # in-flight (uncollected) sub-steps count as worst-case
+            # silent: their collect may set a pending reset that must
+            # land before this slot steps further (see _silence_gated)
+            sil = int(self.silence_ms[i]) + int(self._inflight[i]) * step_ms
+            m = -(-(scfg.reset_thresh_ms - sil) // step_ms)
+            # m >= 1 whenever nothing is in flight (silence_ms resets
+            # below the threshold at every crossing), so m < 1 always
+            # means "wait for an in-flight collect", never starvation
+            avail[i] = min(int(avail[i]), max(m, 0))
         if not avail.any():
             return None
         chunks = np.zeros((k, self.n, scfg.n_buffer, c), np.float32)
@@ -640,25 +697,12 @@ class StreamingEngine:
         v0 = valid[0]
         reset = np.zeros((k, self.n), bool)
         reset[0] = self._pending_reset & v0
-        self._ensure_state()
-        ch = jnp.asarray(chunks)
-        va = jnp.asarray(valid)
-        re = jnp.asarray(reset)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            def sh(x):
-                spec = PartitionSpec(*((None, "data") + (None,) * (x.ndim - 2)))
-                return jax.device_put(x, NamedSharding(self.mesh, spec))
-
-            ch, va, re = sh(ch), sh(va), sh(re)
-        self.state, packs = self._chained_step_fn(k)(
-            self.bundle.variables, self.state, ch, va, re, self._fresh_dec
-        )
+        packs = self._run_chain(k, chunks, valid, reset)
         r0 = reset[0]
         self._eos_done[r0] = False
         self._reset_epoch[r0] += 1
         self._pending_reset_arr[v0] = False
+        self._inflight += avail
         return (packs, valid, self._reset_epoch.copy())
 
     def step_collect(self, pending) -> None:
@@ -668,6 +712,10 @@ class StreamingEngine:
         pending records; chained sub-steps distribute in order."""
         dpacked, valid, epochs = pending
         packed = np.asarray(dpacked)
+        sub = valid.sum(axis=0) if valid.ndim == 2 else valid.astype(np.int64)
+        # clamp: open_slot zeroes a reopened slot's inflight count while
+        # the old occupant's step may still be collecting
+        self._inflight = np.maximum(self._inflight - sub, 0)
         if valid.ndim == 2:  # chained record
             for j in range(valid.shape[0]):
                 if valid[j].any():
@@ -717,19 +765,37 @@ class StreamingEngine:
         self.step_collect(pending)
         return True
 
-    def warmup(self, iters: int = 2) -> None:
+    def warmup(self, iters: int = 2, chain_depths: tuple = ()) -> None:
         """Compile + execute the step (and state init) before traffic
         arrives, KEEPING the built state: slot opens mark a pending
         reset, so the first real step re-initializes each slot on-device.
         (Dropping the state instead forces an eager state rebuild at
         first dispatch — seconds of per-leaf round-trips on a
-        remote-attached chip.)"""
+        remote-attached chip.)
+
+        chain_depths: also precompile the k-chained backlog-recovery
+        programs (the serving stepper passes CHAIN_DEPTHS). Without
+        this, the first backlog spike pays a full XLA compile per depth
+        exactly when streams are already behind — a multi-second stall
+        chaining exists to prevent."""
         w = np.zeros(
             (self.n, self.scfg.n_buffer, self.scfg.chunk_samples),
             np.float32,
         )
         for _ in range(max(iters, 1)):
             self.step_batch(w)
+        for k in chain_depths:
+            # all-False valid: compiles + executes the program without
+            # touching any slot's decode state
+            np.asarray(self._run_chain(
+                int(k),
+                np.zeros(
+                    (k, self.n, self.scfg.n_buffer, self.scfg.chunk_samples),
+                    np.float32,
+                ),
+                np.zeros((k, self.n), bool),
+                np.zeros((k, self.n), bool),
+            ))
 
     def drain(self, slot: int) -> str:
         """Pop this slot's undelivered text."""

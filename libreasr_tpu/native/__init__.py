@@ -24,14 +24,17 @@ def _load(name: str) -> ctypes.CDLL | None:
         if name in _LIBS:
             return _LIBS[name]
         path = os.path.join(_BUILD, f"lib{name}.so")
-        if not os.path.exists(path):
-            try:
-                subprocess.run(
-                    ["make", "-C", _DIR, f"build/lib{name}.so"],
-                    check=True,
-                    capture_output=True,
-                )
-            except Exception:
+        # always run make: a no-op when the .so is fresh (ms), a rebuild
+        # when the C++ source changed — a stale binary silently missing
+        # newer symbols is worse than the stat calls
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR, f"build/lib{name}.so"],
+                check=True,
+                capture_output=True,
+            )
+        except Exception:
+            if not os.path.exists(path):
                 _LIBS[name] = None
                 return None
         try:
@@ -76,6 +79,10 @@ def audio_lib() -> ctypes.CDLL | None:
             i32p, ctypes.c_int64, i32p, ctypes.c_int64,
         ]
         lib.la_edit_distance.restype = ctypes.c_int64
+        lib.la_have_mp3.argtypes = []
+        lib.la_have_mp3.restype = ctypes.c_int32
+        lib.la_have_ogg.argtypes = []
+        lib.la_have_ogg.restype = ctypes.c_int32
         lib._la_configured = True
     return lib
 

@@ -490,6 +490,65 @@ static const int LA_MPG123_ENC_FLOAT_32 = 0x200;
 static const int LA_MPG123_DONE = -12;
 static const int LA_MPG123_NEW_FORMAT = -11;
 
+// One loader per host codec library: each is the SINGLE place its
+// soname fallback list appears — the read/write paths and the
+// la_have_* probes (behind the Python have_mp3/have_ogg gates) all
+// share it, so availability reporting cannot drift from what
+// decode/encode actually dlopens.
+static void* la_dl2(const char* a, const char* b, int flags) {
+  void* d = dlopen(a, flags);
+  return d ? d : dlopen(b, flags);
+}
+static void* la_dl_lame(void) {
+  static void* dl = nullptr;
+  static int tried = 0;
+  if (!tried) {
+    tried = 1;
+    dl = la_dl2("libmp3lame.so.0", "libmp3lame.so", RTLD_NOW | RTLD_LOCAL);
+  }
+  return dl;
+}
+// vorbis libs load RTLD_GLOBAL: libvorbisfile/libvorbisenc resolve
+// symbols from libvorbis/libogg at use time
+static void* la_dl_vorbisfile(void) {
+  static void* dl = nullptr;
+  static int tried = 0;
+  if (!tried) {
+    tried = 1;
+    dl = la_dl2("libvorbisfile.so.3", "libvorbisfile.so",
+                RTLD_NOW | RTLD_GLOBAL);
+  }
+  return dl;
+}
+static void* la_dl_ogg(void) {
+  static void* dl = nullptr;
+  static int tried = 0;
+  if (!tried) {
+    tried = 1;
+    dl = la_dl2("libogg.so.0", "libogg.so", RTLD_NOW | RTLD_GLOBAL);
+  }
+  return dl;
+}
+static void* la_dl_vorbis(void) {
+  static void* dl = nullptr;
+  static int tried = 0;
+  if (!tried) {
+    tried = 1;
+    dl = la_dl2("libvorbis.so.0", "libvorbis.so", RTLD_NOW | RTLD_GLOBAL);
+  }
+  return dl;
+}
+static void* la_dl_vorbisenc(void) {
+  static void* dl = nullptr;
+  static int tried = 0;
+  if (!tried) {
+    tried = 1;
+    dl = la_dl2("libvorbisenc.so.2", "libvorbisenc.so",
+                RTLD_NOW | RTLD_GLOBAL);
+  }
+  return dl;
+}
+
 struct LaMpg123 {
   void* dl;
   int (*init_)(void);
@@ -508,8 +567,7 @@ static LaMpg123* la_mpg123(void) {
   static int tried = 0;
   if (!tried) {
     tried = 1;
-    api.dl = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
-    if (!api.dl) api.dl = dlopen("libmpg123.so", RTLD_NOW | RTLD_LOCAL);
+    api.dl = la_dl2("libmpg123.so.0", "libmpg123.so", RTLD_NOW | RTLD_LOCAL);
     if (api.dl) {
       api.init_ = (int (*)(void))dlsym(api.dl, "mpg123_init");
       api.new_ = (void* (*)(const char*, int*))dlsym(api.dl, "mpg123_new");
@@ -611,13 +669,7 @@ int la_read_mp3(const char* path, float** out, int64_t* n_out, int* sr_out,
 // fixtures; mono s16 input. Returns -20 when lame is absent.
 int la_write_mp3(const char* path, const float* pcm, int64_t n, int sr,
                  int kbps) {
-  static void* dl = nullptr;
-  static int tried = 0;
-  if (!tried) {
-    tried = 1;
-    dl = dlopen("libmp3lame.so.0", RTLD_NOW | RTLD_LOCAL);
-    if (!dl) dl = dlopen("libmp3lame.so", RTLD_NOW | RTLD_LOCAL);
-  }
+  void* dl = la_dl_lame();
   if (!dl) return -20;
   void* (*init)(void) = (void* (*)(void))dlsym(dl, "lame_init");
   int (*set_sr)(void*, int) = (int (*)(void*, int))dlsym(dl, "lame_set_in_samplerate");
@@ -696,13 +748,7 @@ struct LaVorbisInfo {
 
 int la_read_ogg(const char* path, float** out, int64_t* n_out, int* sr_out,
                 int* ch_out) {
-  static void* dl = nullptr;
-  static int tried = 0;
-  if (!tried) {
-    tried = 1;
-    dl = dlopen("libvorbisfile.so.3", RTLD_NOW | RTLD_GLOBAL);
-    if (!dl) dl = dlopen("libvorbisfile.so", RTLD_NOW | RTLD_GLOBAL);
-  }
+  void* dl = la_dl_vorbisfile();
   if (!dl) return -20;
   int (*fopen_)(const char*, void*) =
       (int (*)(const char*, void*))dlsym(dl, "ov_fopen");
@@ -724,10 +770,23 @@ int la_read_ogg(const char* path, float** out, int64_t* n_out, int* sr_out,
   long rate = vi->rate;
   std::vector<float> pcm;  // interleaved
   int bitstream = 0;
+  int cur_link = -1;
   while (true) {
     float** chans = nullptr;
     long got = read_float_(vf.data(), &chans, 4096, &bitstream);
     if (got <= 0) break;  // 0 = EOF; negative = hole/error -> stop
+    if (bitstream != cur_link) {
+      // chained ogg (concatenated logical bitstreams): the channel
+      // count / rate may change per link — deinterleaving with the
+      // initial ch would read past chans[], and a rate change would
+      // mislabel the PCM. Match la_read_mp3's contract: refuse.
+      LaVorbisInfo* li = info_(vf.data(), bitstream);
+      if (!li || li->channels != ch || li->rate != rate) {
+        clear_(vf.data());
+        return -26;  // mid-stream sr/ch change: unsupported
+      }
+      cur_link = bitstream;
+    }
     size_t base = pcm.size();
     pcm.resize(base + (size_t)got * ch);
     for (long s = 0; s < got; s++)
@@ -767,17 +826,9 @@ struct LaOggPage {
 
 int la_write_ogg(const char* path, const float* pcm, int64_t n, int sr,
                  float quality) {
-  static void *dlv = nullptr, *dle = nullptr, *dlo = nullptr;
-  static int tried = 0;
-  if (!tried) {
-    tried = 1;
-    dlo = dlopen("libogg.so.0", RTLD_NOW | RTLD_GLOBAL);
-    if (!dlo) dlo = dlopen("libogg.so", RTLD_NOW | RTLD_GLOBAL);
-    dlv = dlopen("libvorbis.so.0", RTLD_NOW | RTLD_GLOBAL);
-    if (!dlv) dlv = dlopen("libvorbis.so", RTLD_NOW | RTLD_GLOBAL);
-    dle = dlopen("libvorbisenc.so.2", RTLD_NOW | RTLD_GLOBAL);
-    if (!dle) dle = dlopen("libvorbisenc.so", RTLD_NOW | RTLD_GLOBAL);
-  }
+  void* dlo = la_dl_ogg();
+  void* dlv = la_dl_vorbis();
+  void* dle = la_dl_vorbisenc();
   if (!dlv || !dle || !dlo) return -20;
   void (*vi_init)(void*) = (void (*)(void*))dlsym(dlv, "vorbis_info_init");
   int (*enc_init)(void*, long, long, float) =
@@ -907,6 +958,21 @@ int64_t la_edit_distance(const int32_t* a, int64_t n, const int32_t* b,
     std::swap(prev, cur);
   }
   return prev[m];
+}
+
+// Codec availability probes — the truth source for the Python
+// have_mp3/have_ogg gates: they exercise the exact loaders the
+// read/write paths use (decode AND encode, since fixture synthesis
+// writes before it reads).
+int la_have_mp3(void) {
+  return (la_mpg123() != nullptr && la_dl_lame() != nullptr) ? 1 : 0;
+}
+
+int la_have_ogg(void) {
+  return (la_dl_vorbisfile() != nullptr && la_dl_ogg() != nullptr &&
+          la_dl_vorbis() != nullptr && la_dl_vorbisenc() != nullptr)
+             ? 1
+             : 0;
 }
 
 }  // extern "C"

@@ -230,10 +230,12 @@ class BatchStepper:
                 # the dispatch round-trip then amortizes over the chain
                 # instead of compounding the backlog.
                 def _dispatch():
+                    from ..models.streaming import CHAIN_DEPTHS
+
                     depth = eng.backlog_depth()
                     if depth >= 2:
                         kk = 2
-                        while kk * 2 <= min(depth, 8):
+                        while kk * 2 <= min(depth, CHAIN_DEPTHS[-1]):
                             kk *= 2
                         return eng.step_dispatch_chained(kk)
                     return eng.step_dispatch()
@@ -447,9 +449,12 @@ def serve(lang: str = "en", port: int | None = None, config: str | None = None,
         bundle, port, beam_width=beam, use_lm=use_lm,
         lm_alpha=lm_alpha, lm_beta=lm_beta,
     )
-    # compile + settle the batched step before accepting traffic so the
-    # first connection doesn't eat the jit latency
-    servicer.engine.warmup()
+    # compile + settle the batched step AND the backlog-recovery chain
+    # programs before accepting traffic, so neither the first connection
+    # nor the first load spike eats a jit compile
+    from ..models.streaming import CHAIN_DEPTHS
+
+    servicer.engine.warmup(chain_depths=CHAIN_DEPTHS)
     server.start()
     print(f"[api-server] lang={lang} listening on :{port}"
           + (f" (beam={beam})" if beam > 1 else ""))

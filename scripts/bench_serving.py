@@ -41,7 +41,9 @@ sys.path.insert(0, REPO)
 def run_server(port: int, n_streams: int, n_buffer: int, beam: int,
                blank_bias: float, bundle_path: str = ""):
     from bench import build_bundle, set_blank_bias
-    from libreasr_tpu.models.streaming import StreamingConfig, StreamingEngine
+    from libreasr_tpu.models.streaming import (
+        CHAIN_DEPTHS, StreamingConfig, StreamingEngine,
+    )
     from libreasr_tpu.serving.server import make_server
     from libreasr_tpu.utils import enable_compilation_cache
 
@@ -66,7 +68,7 @@ def run_server(port: int, n_streams: int, n_buffer: int, beam: int,
     # measures steady state, not jit latency. The warm state is KEPT:
     # slot opens reset on-device; rebuilding the state eagerly costs
     # seconds of per-leaf round-trips through the tunnel
-    engine.warmup(3)
+    engine.warmup(3, chain_depths=CHAIN_DEPTHS)
     server, servicer = make_server(
         bundle, port, workers=max(2 * n_streams, 16), engine=engine
     )

@@ -280,3 +280,80 @@ def test_chained_dispatch_caps_at_silence_threshold(bundle, rng):
     # first chain is depth-capped to 1 sub-step by the pending threshold
     assert caps[0] == 1
     assert seq_em  # random weights emit — the equality is not vacuous
+
+
+def test_pipelined_dispatch_gates_on_inflight_silence(bundle, rng):
+    """The serving stepper dispatches step k+1 BEFORE collecting step k.
+    A slot whose in-flight steps could cross its silence threshold must
+    not be dispatched again until the collect lands (the collect may set
+    the auto-reset that sequential semantics would apply first) — for
+    both the single-step and the chained dispatch paths."""
+    audio = (rng.standard_normal(1280 * 6) * 0.1).astype(np.float32)
+    scfg = StreamingConfig(sr=bundle.frontend.sr, reset_thresh_ms=160)
+    eng = StreamingEngine(bundle, n_streams=1, scfg=scfg)
+    s = eng.open_slot()
+    eng.append_samples(s, audio)
+    step_ms = eng.scfg.chunk_ms * eng.scfg.n_buffer
+
+    p1 = eng.step_dispatch()  # in flight, uncollected
+    assert p1 is not None and int(eng._inflight[s]) == 1
+    # one step short of the threshold: the in-flight step's worst case
+    # (silent) reaches it, so further dispatches must wait
+    eng.silence_ms[s] = eng.scfg.reset_thresh_ms - step_ms
+    assert eng.step_dispatch() is None
+    assert eng.step_dispatch_chained(4) is None
+    eng.step_collect(p1)
+    assert int(eng._inflight[s]) == 0
+    # collect landed (reset pending or silence cleared) — dispatch flows
+    p2 = eng.step_dispatch_chained(4)
+    assert p2 is not None
+    eng.step_collect(p2)
+
+
+def test_pipelined_run_matches_sequential(bundle, rng):
+    """Full pipelined driving (dispatch-ahead like the serving stepper,
+    mixing chained and single steps) must emit exactly what sequential
+    dispatch/collect emits, including with a tight auto-reset
+    threshold in play."""
+    audio = (rng.standard_normal(1280 * 10) * 0.1).astype(np.float32)
+    scfg = StreamingConfig(sr=bundle.frontend.sr, reset_thresh_ms=160)
+
+    def run(pipelined: bool):
+        eng = StreamingEngine(bundle, n_streams=1, scfg=scfg)
+        s = eng.open_slot()
+        eng.append_samples(s, audio)
+        step_ms = eng.scfg.chunk_ms * eng.scfg.n_buffer
+        eng.silence_ms[s] = eng.scfg.reset_thresh_ms - step_ms
+        if pipelined:
+            pending = None
+            while True:
+                p = (eng.step_dispatch_chained(4)
+                     if eng.backlog_depth() >= 2 else eng.step_dispatch())
+                if p is None:
+                    if pending is not None:
+                        eng.step_collect(pending)
+                        pending = None
+                        continue  # a landed collect can un-gate a slot
+                    break
+                if pending is not None:
+                    eng.step_collect(pending)
+                pending = p
+        else:
+            while (p := eng.step_dispatch()) is not None:
+                eng.step_collect(p)
+        return list(eng.emitted[s]), eng.drain(s)
+
+    assert run(True) == run(False)
+
+
+def test_warmup_precompiles_chain_programs(bundle):
+    """warmup(chain_depths=...) compiles the chained programs up front
+    (so the first backlog spike never pays a jit compile) without
+    touching slot state or emitting anything."""
+    from libreasr_tpu.models.streaming import CHAIN_DEPTHS
+
+    eng = StreamingEngine(bundle, n_streams=2)
+    eng.warmup(1, chain_depths=CHAIN_DEPTHS)
+    assert set(eng._step_chain) == set(CHAIN_DEPTHS)
+    assert all(not o for o in eng.outbox)
+    assert int(eng._inflight.sum()) == 0
