@@ -21,6 +21,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <ctime>
 #include <vector>
 
 #include <dlfcn.h>
@@ -757,10 +758,16 @@ int la_read_ogg(const char* path, float** out, int64_t* n_out, int* sr_out,
   long (*read_float_)(void*, float***, int, int*) =
       (long (*)(void*, float***, int, int*))dlsym(dl, "ov_read_float");
   int (*clear_)(void*) = (int (*)(void*))dlsym(dl, "ov_clear");
+  int (*raw_seek_)(void*, int64_t) =
+      (int (*)(void*, int64_t))dlsym(dl, "ov_raw_seek");
   if (!fopen_ || !info_ || !read_float_ || !clear_) return -21;
   // OggVorbis_File is ~944 bytes; over-allocate for ABI headroom
   std::vector<unsigned char> vf(4096, 0);
   if (fopen_(path, vf.data()) != 0) return -22;
+  // chained files: the open scan can leave the cursor at the LAST
+  // link, silently dropping every earlier one — rewind to byte 0
+  // (no-op for single-stream files)
+  if (raw_seek_) raw_seek_(vf.data(), 0);
   LaVorbisInfo* vi = info_(vf.data(), -1);
   if (!vi || vi->channels < 1) {
     clear_(vf.data());
@@ -885,7 +892,13 @@ int la_write_ogg(const char* path, const float* pcm, int64_t n, int sr,
   comment_init(vc.data());
   an_init(vd.data(), vi.data());
   blk_init(vd.data(), vb.data());
-  os_init(os.data(), 1);
+  // unique-ish serial per encode: the Ogg spec requires DISTINCT
+  // serial numbers for the links of a chained stream — with a fixed
+  // serial, `cat a.ogg b.ogg` produces an invalid chain that decoders
+  // stop reading at the first link's EOF
+  static int serial = 0;
+  if (serial == 0) serial = (int)(time(nullptr) & 0x3fffffff) + 1;
+  os_init(os.data(), serial++);
   LaOggPacket hdr, hdr_comm, hdr_code;
   headerout(vd.data(), vc.data(), &hdr, &hdr_comm, &hdr_code);
   os_packetin(os.data(), &hdr);

@@ -249,6 +249,55 @@ def test_truncated_ogg_raises_or_decodes_prefix(tmp_path):
     assert pcm.shape[1] <= len(ref)
 
 
+def test_chained_ogg_same_format_decodes_whole(tmp_path):
+    """Concatenating two complete ogg files yields a CHAINED bitstream
+    (multiple logical streams — icecast dumps, `cat`-ed files). When the
+    links share channels/rate the decoder must decode across the link
+    boundary instead of stopping at the first stream's EOF."""
+    from libreasr_tpu.data.audio import have_ogg, write_ogg
+
+    if not have_ogg():
+        pytest.skip("host has no libvorbis")
+    sr = 16000
+    a = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    b = (0.3 * np.sin(2 * np.pi * 880 * np.arange(sr) / sr)).astype(np.float32)
+    pa, pb = str(tmp_path / "a.ogg"), str(tmp_path / "b.ogg")
+    write_ogg(pa, a, sr)
+    write_ogg(pb, b, sr)
+    chained = str(tmp_path / "chained.ogg")
+    with open(chained, "wb") as f:
+        f.write(open(pa, "rb").read() + open(pb, "rb").read())
+    pcm, got_sr = read_audio(chained)
+    assert got_sr == sr
+    # both links decoded (encoder block padding gives ±1024 per link)
+    assert abs(pcm.shape[1] - 2 * sr) <= 2048
+
+
+def test_chained_ogg_rate_change_refused(tmp_path):
+    """A chained ogg whose second link changes the sample rate must be
+    refused (AudioReadError, native rc -26) — silently keeping the first
+    link's rate would mislabel the PCM, and a channel change would read
+    out of bounds while deinterleaving."""
+    from libreasr_tpu.data.audio import AudioReadError, have_ogg, write_ogg
+
+    if not have_ogg():
+        pytest.skip("host has no libvorbis")
+    a = (0.3 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)).astype(
+        np.float32
+    )
+    b = (0.3 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)).astype(
+        np.float32
+    )
+    pa, pb = str(tmp_path / "a.ogg"), str(tmp_path / "b.ogg")
+    write_ogg(pa, a, 16000)
+    write_ogg(pb, b, 8000)
+    chained = str(tmp_path / "chained.ogg")
+    with open(chained, "wb") as f:
+        f.write(open(pa, "rb").read() + open(pb, "rb").read())
+    with pytest.raises(AudioReadError):
+        read_audio(chained)
+
+
 def test_unwritable_encode_path_fails_cleanly(tmp_path):
     """Encoding to an unwritable path must raise AudioReadError (batch
     converts over read-only trees hit this per file) and leak nothing —
