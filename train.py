@@ -203,7 +203,10 @@ def main(argv=None):
                 step = step + 1
                 if rank0:
                     logger.log_step(step, metrics, batch)
-                if eval_every and (bi + 1) % eval_every == 0 and not multiproc:
+                # global-step cadence: epochs can be shorter than the
+                # interval (small corpora), so an intra-epoch index
+                # would never fire
+                if eval_every and step % eval_every == 0 and not multiproc:
                     _run_eval(bundle, learner, valid_ds, logger, step,
                               args.eval_batches, args.ckpt)
                 if args.steps and step >= args.steps:
