@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from .rnnt_loss import (
-    NEG, _backward_betas, _forward_alphas, _terminal_gather,
+    NEG, _backward_betas, _forward_alphas, _log_probs, _occupancies,
+    _terminal_gather,
 )
 
 
@@ -60,21 +61,14 @@ def _chunk_lp(enc_chunk, pred_proj, jp: JointParams, labels, blank,
         _mmc(hidden, jp.w_out, cdt)
         + jp.b_out
     )                                                    # [N,Tc,U1,V]
-    lse = jax.scipy.special.logsumexp(logits, axis=-1)
-    lp_blank = logits[..., blank] - lse
-    u = labels.shape[1]
-    emit_logits = jnp.take_along_axis(
-        logits[:, :, :u, :], labels[:, None, :, None], axis=-1
-    )[..., 0]
-    lp_emit = emit_logits - lse[:, :, :u]
-    return lp_blank, lp_emit
+    return _log_probs(logits, labels, blank)
 
 
 def _pred_proj(pred_out, jp: JointParams, cdt=None):
     return _mmc(pred_out, jp.w_pred, cdt) + jp.b_pred
 
 
-def _joint_pallas_ok(jp: JointParams, cdt) -> bool:
+def _joint_pallas_ok(jp: JointParams, cdt, u1: int) -> bool:
     """Fused Pallas joint kernels (ops/pallas/joint_lp.py): DEFAULT ON
     for TPU training with a low-precision compute policy and
     lane-aligned J/V. Round 2 shipped them opt-in: the original
@@ -85,17 +79,24 @@ def _joint_pallas_ok(jp: JointParams, cdt) -> bool:
     measured full flagship train step 29.9 -> 28.1 ms vs the XLA
     chunked path (scripts/bench_train_step.py). Opt out with
     LIBREASR_NO_PALLAS_JOINT=1; LIBREASR_FORCE_PALLAS=1 engages
-    interpret mode for CPU tests."""
+    interpret mode for CPU tests (off-TPU only — on hardware it must
+    not bypass the alignment/precision/VMEM eligibility below)."""
     import os
 
-    if os.environ.get("LIBREASR_FORCE_PALLAS") == "1":
-        return True
     if os.environ.get("LIBREASR_NO_PALLAS_JOINT") == "1":
         return False
-    if jax.default_backend() != "tpu" or cdt is None:
+    if jax.default_backend() != "tpu":
+        return os.environ.get("LIBREASR_FORCE_PALLAS") == "1"
+    if cdt is None:
         return False
+    from .pallas.joint_lp import MAX_U1
+
     j, v = jp.w_out.shape
-    return j % 128 == 0 and v % 128 == 0
+    # u1 bound: the fwd kernel holds all BT*Up rows of one tile's
+    # [rows, V] logits in VMEM, and the bwd row-slicer only bounds its
+    # temporaries for up <= MAX_U1 — longer labels fall back to the
+    # XLA chunked path instead of failing Mosaic allocation
+    return j % 128 == 0 and v % 128 == 0 and u1 <= MAX_U1
 
 
 def _joint_w_dtype(cdt):
@@ -154,7 +155,7 @@ def _fused_fwd_impl(enc_out, pred_out, jp, labels, fl, yl, blank, t_chunk,
                     cdt=None):
     enc_p, t_pad = _pad_time(enc_out.astype(jnp.float32), t_chunk)
     pred32 = pred_out.astype(jnp.float32)
-    if _joint_pallas_ok(jp, cdt):
+    if _joint_pallas_ok(jp, cdt, pred_out.shape[1]):
         from .pallas.joint_lp import joint_lp_fwd_pallas
 
         encp = _mmc(enc_p, jp.w_enc, cdt)
@@ -190,38 +191,10 @@ def _fused_bwd(blank, t_chunk, cdt, res, g):
     u1 = pred_out.shape[1]
 
     enc_p, t = _pad_time(enc_out32, t_chunk)
-    use_pallas = _joint_pallas_ok(jp, cdt)
+    use_pallas = _joint_pallas_ok(jp, cdt, u1)
     beta = _backward_betas(lpb, lpe_m, fl, yl)
 
-    t_ids = jnp.arange(t)
-    u_ids = jnp.arange(u1)
-    valid = (t_ids[None, :] < fl[:, None])[:, :, None] & (
-        u_ids[None, :] <= yl[:, None]
-    )[:, None, :]
-
-    exit_row = jnp.where(u_ids[None, :] == yl[:, None], 0.0, NEG)
-    beta_next_t = jnp.concatenate(
-        [beta[:, 1:, :], jnp.full((n, 1, u1), NEG)], axis=1
-    )
-    beta_next_t = jnp.where(
-        (t_ids[None, :] + 1 == fl[:, None])[:, :, None],
-        exit_row[:, None, :],
-        beta_next_t,
-    )
-    beta_next_u = jnp.concatenate(
-        [beta[:, :, 1:], jnp.full((n, t, 1), NEG)], axis=2
-    )
-    lz = log_z[:, None, None]
-    occ_blank = jnp.where(
-        valid, jnp.exp(jnp.clip(alpha + lpb + beta_next_t - lz, NEG, 0.0)), 0.0
-    )
-    occ_emit = jnp.where(
-        valid[:, :, :-1],
-        jnp.exp(
-            jnp.clip(alpha[:, :, :-1] + lpe_m + beta_next_u[:, :, :-1] - lz, NEG, 0.0)
-        ),
-        0.0,
-    )
+    occ_blank, occ_emit = _occupancies(lpb, lpe_m, alpha, beta, fl, yl, log_z)
     # d(-logZ)/d lp = -occ, scaled by the upstream cotangent
     g_lpb = -occ_blank * g[:, None, None]
     g_lpe = -occ_emit * g[:, None, None]

@@ -51,6 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 # (bf16) and the backward's dW accumulator (f32) must fit ~16 MB VMEM.
 _BT = 8
 
+# Largest padded U1 the kernels accept: the fwd kernel materializes one
+# tile's full [BT*Up, V] logits in VMEM, and _n_slices can only honor
+# its <=96-rows-per-slice bound for BT*Up <= 8*96. The eligibility gate
+# (fused_loss._joint_pallas_ok) routes longer-label batches to the XLA
+# chunked path instead of failing Mosaic VMEM allocation.
+MAX_U1 = 96
+
 
 def _n_slices(r: int) -> int:
     """Backward row-slices per tile: bound the live [rows, V]
@@ -59,7 +66,10 @@ def _n_slices(r: int) -> int:
     for n in (1, 2, 4, 8):
         if r % n == 0 and r // n <= 96:
             return n
-    return 8
+    raise ValueError(
+        f"joint_lp: {r} lattice rows per tile exceeds the VMEM slicing "
+        f"bound (padded U1 must be <= {MAX_U1}; gate on MAX_U1)"
+    )
 
 
 def _selectors(bt: int, up: int):
@@ -178,18 +188,9 @@ def _joint_dx_kernel(encp_ref, predp_ref, labels_ref, wout_ref, bout_ref,
     for sidx in range(n_sl):
         sl = slice(sidx * half, (sidx + 1) * half)
         st, su = sel_t[:, sl], sel_u[:, sl]
-        h2 = jnp.tanh(
-            jax.lax.dot_general(
-                st, encp_ref[0],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + jax.lax.dot_general(
-                su, predp_ref[0],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )                                                   # [half, J]
+        # recompute this slice's rows: MUST stay bitwise-identical to
+        # the forward kernel, hence the shared _tile_rows
+        h2 = _tile_rows(encp_ref, predp_ref, st, su)        # [half, J]
         logits = (
             jnp.dot(h2.astype(wout_ref.dtype), wout_ref[:],
                     preferred_element_type=jnp.float32)
@@ -263,18 +264,8 @@ def _joint_dw_kernel(encp_ref, predp_ref, labels_ref, woutc_ref, boutc_ref,
     for sidx in range(n_sl):
         sl = slice(sidx * half, (sidx + 1) * half)
         st, su = sel_t[:, sl], sel_u[:, sl]
-        h2 = jnp.tanh(
-            jax.lax.dot_general(
-                st, encp_ref[0],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + jax.lax.dot_general(
-                su, predp_ref[0],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )                                                   # [half, J]
+        # same bitwise recompute contract as _joint_dx_kernel
+        h2 = _tile_rows(encp_ref, predp_ref, st, su)        # [half, J]
         logits_c = (
             jnp.dot(h2.astype(woutc_ref.dtype), woutc_ref[:],
                     preferred_element_type=jnp.float32)

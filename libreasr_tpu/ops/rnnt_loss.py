@@ -149,25 +149,20 @@ def _rnnt_fwd_impl(logits, labels, frame_lengths, label_lengths, blank):
     return -log_z, log_z
 
 
-def _rnnt_fwd(logits, labels, frame_lengths, label_lengths, blank):
-    loss, _ = _rnnt_fwd_impl(logits, labels, frame_lengths, label_lengths, blank)
-    return loss, (logits, labels, frame_lengths, label_lengths)
-
-
-def _rnnt_bwd(blank, res, g):
-    logits, labels, frame_lengths, label_lengths = res
-    logits = logits.astype(jnp.float32)
-    n, t, u1, v = logits.shape
-    lp_blank, lp_emit = _log_probs(logits, labels, blank)
-    alpha, lp_emit_masked = _forward_alphas(lp_blank, lp_emit, label_lengths)
-    beta = _backward_betas(lp_blank, lp_emit_masked, frame_lengths, label_lengths)
-    log_z = _terminal_gather(alpha, lp_blank, frame_lengths, label_lengths)
-
+def _occupancies(lp_blank, lp_emit_m, alpha, beta, frame_lengths,
+                 label_lengths, log_z):
+    """Posterior transition occupancies of the RNN-T lattice —
+    (occ_blank [N,T,U1], occ_emit [N,T,U]), zeroed outside the valid
+    (t, u) region; d(-logZ)/d lp = -occ. Shared by the full-lattice
+    custom-vjp backward below and the fused-loss backward
+    (fused_loss._fused_bwd), so the analytic gradient math lives in
+    exactly one place."""
+    n, t, u1 = lp_blank.shape
     t_ids = jnp.arange(t)
     u_ids = jnp.arange(u1)
-    valid_t = t_ids[None, :] < frame_lengths[:, None]              # [N, T]
-    valid_u = u_ids[None, :] <= label_lengths[:, None]             # [N, U1]
-    valid = valid_t[:, :, None] & valid_u[:, None, :]              # [N, T, U1]
+    valid = (t_ids[None, :] < frame_lengths[:, None])[:, :, None] & (
+        u_ids[None, :] <= label_lengths[:, None]
+    )[:, None, :]                                                  # [N, T, U1]
 
     # continuation after a blank from (t, u): beta[t+1, u], exit at fl
     exit_row = jnp.where(u_ids[None, :] == label_lengths[:, None], 0.0, NEG)
@@ -190,13 +185,34 @@ def _rnnt_bwd(blank, res, g):
     )
     occ_emit = jnp.exp(
         jnp.clip(
-            alpha[:, :, :-1] + lp_emit_masked + beta_next_u[:, :, :-1] - lz,
+            alpha[:, :, :-1] + lp_emit_m + beta_next_u[:, :, :-1] - lz,
             NEG,
             0.0,
         )
     )
     occ_blank = jnp.where(valid, occ_blank, 0.0)
     occ_emit = jnp.where(valid[:, :, :-1], occ_emit, 0.0)
+    return occ_blank, occ_emit
+
+
+def _rnnt_fwd(logits, labels, frame_lengths, label_lengths, blank):
+    loss, _ = _rnnt_fwd_impl(logits, labels, frame_lengths, label_lengths, blank)
+    return loss, (logits, labels, frame_lengths, label_lengths)
+
+
+def _rnnt_bwd(blank, res, g):
+    logits, labels, frame_lengths, label_lengths = res
+    logits = logits.astype(jnp.float32)
+    n, t, u1, v = logits.shape
+    lp_blank, lp_emit = _log_probs(logits, labels, blank)
+    alpha, lp_emit_masked = _forward_alphas(lp_blank, lp_emit, label_lengths)
+    beta = _backward_betas(lp_blank, lp_emit_masked, frame_lengths, label_lengths)
+    log_z = _terminal_gather(alpha, lp_blank, frame_lengths, label_lengths)
+
+    occ_blank, occ_emit = _occupancies(
+        lp_blank, lp_emit_masked, alpha, beta, frame_lengths,
+        label_lengths, log_z,
+    )
 
     # d(-logZ)/d lp = -occ; chain through log_softmax:
     # d/d logits[v] = g_lp[v] - softmax[v] * sum_v' g_lp[v']

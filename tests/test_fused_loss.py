@@ -119,3 +119,31 @@ def test_pallas_joint_matches_xla(rng, monkeypatch):
                     jax.tree_util.tree_leaves(g_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gate_bounds_label_length(monkeypatch):
+    """On TPU the eligibility gate must route long-label batches to the
+    XLA chunked path: the fwd kernel holds a full [BT*Up, V] logits tile
+    in VMEM and the bwd row-slicer's bound only holds for u1 <= MAX_U1 —
+    past that, engaging Pallas means a Mosaic allocation failure, not a
+    slow path. FORCE_PALLAS must not bypass the hardware checks."""
+    from libreasr_tpu.ops import fused_loss as flmod
+    from libreasr_tpu.ops.pallas.joint_lp import MAX_U1
+
+    j, v = 128, 256
+    jp = JointParams(
+        w_pred=jnp.zeros((8, j)), b_pred=jnp.zeros(j),
+        w_enc=jnp.zeros((8, j)), w_out=jnp.zeros((j, v)),
+        b_out=jnp.zeros(v),
+    )
+    monkeypatch.setattr(flmod.jax, "default_backend", lambda: "tpu")
+    assert flmod._joint_pallas_ok(jp, jnp.bfloat16, MAX_U1)
+    assert not flmod._joint_pallas_ok(jp, jnp.bfloat16, MAX_U1 + 1)
+    assert not flmod._joint_pallas_ok(jp, None, MAX_U1)  # f32 policy
+    # FORCE_PALLAS is an interpret-mode (off-TPU) switch only
+    monkeypatch.setenv("LIBREASR_FORCE_PALLAS", "1")
+    assert not flmod._joint_pallas_ok(jp, jnp.bfloat16, MAX_U1 + 1)
+    assert not flmod._joint_pallas_ok(jp, None, MAX_U1)
+    # misaligned vocab falls back too
+    jp_bad = jp._replace(w_out=jnp.zeros((j, v + 8)), b_out=jnp.zeros(v + 8))
+    assert not flmod._joint_pallas_ok(jp_bad, jnp.bfloat16, MAX_U1)
