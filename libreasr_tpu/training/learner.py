@@ -348,13 +348,12 @@ class Learner:
         self.frontend = frontend
         self.mesh = mesh
         self.carries: dict[int, BatchCarry] = {}
-        self._step_fn = jax.jit(
-            make_train_step(
-                model, tx, frontend, loss_cfg,
-                hutchinson=hutchinson, pass_loss_value=pass_loss_value,
-            ),
-            donate_argnums=(0,),
+        self._raw_step = make_train_step(
+            model, tx, frontend, loss_cfg,
+            hutchinson=hutchinson, pass_loss_value=pass_loss_value,
         )
+        self._step_fn = jax.jit(self._raw_step, donate_argnums=(0,))
+        self._chain_fn = jax.jit(self._chained, donate_argnums=(0, 1))
         self._rng = jax.random.PRNGKey(seed)
 
     def next_rng(self):
@@ -381,4 +380,60 @@ class Learner:
         # block on the device every step (on a tunneled chip that is
         # ~85% of wall-clock; see docs/performance.md). Callers float()
         # them at their own logging cadence.
+        return metrics
+
+    def _chained(self, state, carry, batches, rngs):
+        """lax.scan body over K stacked batches (traced under jit)."""
+        def body(sc, xs):
+            s, c = sc
+            batch, rng = xs
+            s, c, m = self._raw_step(s, c, Batch(*batch), rng)
+            return (s, c), m
+
+        (state, carry), ms = jax.lax.scan(
+            body, (state, carry), (tuple(batches), rngs)
+        )
+        # last-step metrics (what a sequential loop would hold after the
+        # chain) + the chain-mean loss for smoother logging
+        metrics = {k: v[-1] for k, v in ms.items()}
+        metrics["loss_mean"] = ms["loss"].mean()
+        return state, carry, metrics
+
+    def step_chained(self, batches: list[Batch]):
+        """Run K same-shape train steps as ONE device program.
+
+        One dispatch + one host->device upload per chain instead of per
+        step: on a remote/tunneled chip the per-step round-trip dwarfs
+        the ~26 ms device step, the same economics the serving stepper's
+        chained dispatch exploits (serving/server.py). Numerics are
+        identical to K sequential step() calls — the rng stream is
+        pre-split exactly as step() would, and the per-shape carry
+        threads through the scan.
+        """
+        if len(batches) == 1:
+            return self.step(batches[0])
+        shape = batches[0].audio.shape
+        if any(b.audio.shape != shape for b in batches):
+            raise ValueError("step_chained needs one bucket shape per chain")
+        n = shape[0]
+        carry = self.carries.get(n)
+        if carry is None:
+            carry = init_carry(self.model.cfg, n)
+        stacked = Batch(
+            *(np.stack([np.asarray(getattr(b, f)) for b in batches])
+              for f in Batch._fields)
+        )
+        if self.mesh is not None and jax.process_count() == 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def put(x):  # [K, N, ...]: batch axis is now axis 1
+                spec = P(None, "data", *([None] * (x.ndim - 2)))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            stacked = Batch(*(put(x) for x in stacked))
+        rngs = jnp.stack([self.next_rng() for _ in batches])
+        self.state, carry, metrics = self._chain_fn(
+            self.state, carry, stacked, rngs
+        )
+        self.carries[n] = carry
         return metrics

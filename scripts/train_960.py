@@ -149,6 +149,14 @@ def main(argv=None):
                    help="eval cadence in steps (small corpora make the "
                         "reference's tests-per-epoch cadence pathological)")
     p.add_argument("--skip-final-eval", action="store_true")
+    p.add_argument("--chain-steps", type=int, default=8,
+                   help="fuse up to K same-bucket train steps into one "
+                        "device program (see train.py --chain-steps)")
+    p.add_argument("--ckpt-every-s", type=float, default=600.0)
+    p.add_argument("--accumulate", type=int, default=0,
+                   help="override accumulate_n_batches (0 = keep config; "
+                        "small corpora want 1 — the flagship default of "
+                        "10 makes 10 loader steps per optimizer update)")
     a = p.parse_args(argv)
 
     import yaml
@@ -182,6 +190,8 @@ def main(argv=None):
     # full-shape batches only: ragged tails cost compiled programs and
     # the shuffled spill trains on everything across epochs anyway
     conf["drop_last"] = True
+    if a.accumulate:
+        conf["accumulate_n_batches"] = a.accumulate
     tok_file = os.path.join(out, "tokenizer.bpe-model")
     conf.setdefault("tokenizer", {})["model_file"] = tok_file
     conf["train_tokenizer"] = False
@@ -214,6 +224,8 @@ def main(argv=None):
         "--logdir", os.path.join(out, "runs"),
         "--eval-batches", str(a.eval_batches),
         "--eval-every", str(a.eval_every),
+        "--chain-steps", str(a.chain_steps),
+        "--ckpt-every-s", str(a.ckpt_every_s),
     ]
     if a.steps:
         args += ["--steps", str(a.steps)]

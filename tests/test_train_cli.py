@@ -102,10 +102,11 @@ def test_train_cli_runs_and_resumes(tiny_conf, tmp_path, capsys):
     assert os.path.isdir(ckpt)
     assert os.path.exists(bundle_path)
 
-    # resume: step counter continues
+    # resume: step counter continues; chained dispatch path exercised
     train_cli.main([
         "--config", tiny_conf, "--steps", "5", "--ckpt", ckpt,
         "--logdir", str(tmp_path / "runs2"), "--eval-batches", "1",
+        "--chain-steps", "2",
     ])
     out = capsys.readouterr().out
     assert "resumed" in out

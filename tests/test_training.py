@@ -90,6 +90,66 @@ def test_train_step_on_mesh(rng):
     np.testing.assert_allclose(w, w_ref, rtol=1e-3, atol=1e-5)
 
 
+def test_chained_steps_match_sequential(rng):
+    """step_chained(K batches) == K sequential step() calls: same rng
+    stream, same carry threading, same final params/metrics."""
+    cfg = tiny_cfg()
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    tx = build_optimizer("adam", 1e-3)
+    batches = [feature_batch(np.random.default_rng(i)) for i in range(5)]
+
+    seq = Learner(
+        model,
+        jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables),
+        tx, frontend=None, seed=3,
+    )
+    for b in batches:
+        m_seq = seq.step(b)
+
+    ch = Learner(model, variables, tx, frontend=None, seed=3)
+    m_ch = ch.step_chained(batches)
+
+    np.testing.assert_allclose(m_ch["loss"], m_seq["loss"], rtol=1e-5)
+    assert "loss_mean" in m_ch
+    w_seq = np.asarray(seq.state.params["joint"]["out"]["kernel"])
+    w_ch = np.asarray(ch.state.params["joint"]["out"]["kernel"])
+    np.testing.assert_allclose(w_ch, w_seq, rtol=1e-5, atol=1e-7)
+    assert int(ch.state.step) == int(seq.state.step) == 5
+    # carry threads through the scan identically
+    np.testing.assert_allclose(
+        np.asarray(ch.carries[4].enc_state[0][0]),
+        np.asarray(seq.carries[4].enc_state[0][0]),
+        rtol=1e-5, atol=1e-7,
+    )
+    # mixed-shape chains are refused (train.py groups by bucket shape)
+    with pytest.raises(ValueError):
+        ch.step_chained([batches[0], feature_batch(rng, t=9)])
+
+
+def test_chained_steps_on_mesh(rng):
+    """Chained steps shard over the mesh (batch axis 1 of the stacked
+    [K, N, ...] arrays) and match the single-device chain."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=4, model=2)
+    cfg = tiny_cfg()
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    tx = build_optimizer("adam", 1e-3)
+    batches = [feature_batch(np.random.default_rng(i), n=8) for i in range(3)]
+
+    ref_vars = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), variables)
+    ref = Learner(model, ref_vars, tx, frontend=None, seed=7)
+    m_ref = ref.step_chained(batches)
+
+    sharded_vars = jax.device_put(variables, param_shardings(mesh, variables))
+    learner = Learner(model, sharded_vars, tx, frontend=None, mesh=mesh, seed=7)
+    m = learner.step_chained(batches)
+
+    np.testing.assert_allclose(m["loss"], m_ref["loss"], rtol=1e-4)
+    w_ref = np.asarray(ref.state.params["joint"]["out"]["kernel"])
+    w = np.asarray(learner.state.params["joint"]["out"]["kernel"])
+    np.testing.assert_allclose(w, w_ref, rtol=1e-3, atol=1e-5)
+
+
 def test_carry_updates_across_steps(rng):
     cfg = tiny_cfg(use_tmp_bos=True, use_tmp_bos_pcent=1.0)
     model, variables = init_transducer(cfg, jax.random.PRNGKey(0))

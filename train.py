@@ -28,6 +28,16 @@ def main(argv=None):
     p.add_argument("--eval-batches", type=int, default=16)
     p.add_argument("--eval-every", type=int, default=0,
                    help="eval every N steps (0 = tests_per_epoch auto)")
+    p.add_argument("--chain-steps", type=int, default=1,
+                   help="run up to K same-bucket train steps as ONE "
+                        "device program (amortizes the per-step dispatch "
+                        "round-trip on remote/tunneled chips; numerics "
+                        "identical to K sequential steps)")
+    p.add_argument("--ckpt-every-s", type=float, default=600.0,
+                   help="min seconds between epoch-end checkpoints (a "
+                        "full orbax save streams the whole train state "
+                        "off the device — per-epoch saves dominate wall "
+                        "time on small corpora)")
     p.add_argument("--dist-coordinator", default="",
                    help="host:port for multi-host training (every process "
                         "runs this CLI with the same args + its --dist-pid)")
@@ -181,6 +191,33 @@ def main(argv=None):
         print(f"[train] multi-host: {jax.process_count()} processes, "
               f"mesh {dict(mesh.shape)}")
 
+    # chain K same-bucket steps into one device program (lax.scan in
+    # Learner.step_chained); multi-host keeps per-step global batches
+    chain_k = max(args.chain_steps, 1) if not multiproc else 1
+    last_save = time.time()
+
+    def run_chunk(chunk):
+        nonlocal step, metrics
+        if chain_k > 1 and len(chunk) > 1:
+            metrics = learner.step_chained(chunk)
+        else:
+            for b in chunk:
+                metrics = learner.step(to_global(b) if multiproc else b)
+        prev = step
+        # host-side step counter: int(learner.state.step) would
+        # synchronize with the device every step
+        step += len(chunk)
+        if rank0:
+            logger.log_step(step, metrics, chunk[-1])
+        # global-step cadence: epochs can be shorter than the interval
+        # (small corpora) and chains can stride past the exact multiple
+        if (eval_every and not multiproc
+                and step // eval_every > prev // eval_every):
+            _run_eval(bundle, learner, valid_ds, logger, step,
+                      args.eval_batches, args.ckpt)
+        if args.steps and step >= args.steps:
+            raise StopIteration
+
     try:
         for epoch in range(epochs):
             batches = list(train_ds) if eval_every is None else train_ds
@@ -196,27 +233,28 @@ def main(argv=None):
                     if args.eval_every > 0
                     else max(len(batches) // max(tests_per_epoch, 1), 1)
                 )
-            for bi, batch in enumerate(batches):
-                metrics = learner.step(to_global(batch) if multiproc else batch)
-                # host-side step counter: int(learner.state.step) would
-                # synchronize with the device every step
-                step = step + 1
-                if rank0:
-                    logger.log_step(step, metrics, batch)
-                # global-step cadence: epochs can be shorter than the
-                # interval (small corpora), so an intra-epoch index
-                # would never fire
-                if eval_every and step % eval_every == 0 and not multiproc:
-                    _run_eval(bundle, learner, valid_ds, logger, step,
-                              args.eval_batches, args.ckpt)
-                if args.steps and step >= args.steps:
-                    raise StopIteration
+            # accumulate lazy runs of same-shape batches up to chain_k
+            # (the sortish batcher emits bucket-adjacent shapes, so runs
+            # are long; buffering the whole epoch would not scale)
+            run: list = []
+            for batch in batches:
+                if run and (len(run) >= chain_k
+                            or batch.audio.shape != run[0].audio.shape):
+                    run_chunk(run)
+                    run = []
+                run.append(batch)
+            if run:
+                run_chunk(run)
             if rank0:
                 print(
                     f"[train] epoch {epoch} done step={step} "
                     f"loss={float(metrics['loss']):.3f} ({time.time()-t0:.0f}s)"
                 )
-            save_train_state(os.path.abspath(args.ckpt), learner.state)
+            # a full orbax save streams the whole train state off the
+            # device — throttle to every ckpt_every_s (final save below)
+            if time.time() - last_save >= args.ckpt_every_s:
+                save_train_state(os.path.abspath(args.ckpt), learner.state)
+                last_save = time.time()
     except (StopIteration, KeyboardInterrupt):
         pass
 
