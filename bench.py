@@ -85,10 +85,11 @@ def golden_emission_rate() -> float:
     return total / float(8 * n_chunks)
 
 
-def measure_rate(eng, bundle, n: int, steps: int = 8) -> float:
-    """Flagship proxy's tokens/chunk on noise input at the current bias."""
+def measure_rate(eng, bundle, n: int, steps: int = 8, workload=None) -> float:
+    """Tokens/chunk through the engine (noise input unless a workload —
+    e.g. tone-speech for a trained bundle — is given)."""
     rng = np.random.default_rng(0)
-    w = rng.standard_normal(
+    w = workload if workload is not None else rng.standard_normal(
         (n, eng.scfg.n_buffer, eng.scfg.chunk_samples)
     ).astype(np.float32) * 0.1
     eng.step_batch(w)  # settle after reset
@@ -264,16 +265,43 @@ def main():
         )
     if trained:
         from libreasr_tpu.api import ASRBundle
+        from libreasr_tpu.models.streaming import StreamingEngine
 
         bundle = ASRBundle.from_bundle(
             trained_path, extract_to="./tmp/bench_flagship"
         )
+        # a mid-training (blank-collapsed) checkpoint emits almost
+        # nothing, making the decode inner loop unrealistically light —
+        # gate on the tone-speech emission rate reaching half the golden
+        # bundle's. An explicitly requested bundle (env var) is used
+        # regardless, with the rate printed so the run is attributable.
+        eng = StreamingEngine(bundle, n_streams=8)
+        wk = tone_workload(8, eng.scfg.n_buffer, eng.scfg.chunk_samples)
+        rate = measure_rate(eng, bundle, 8, workload=wk)
+        del eng
+        try:
+            floor = 0.5 * golden_emission_rate()
+        except Exception:  # noqa: BLE001 — fixtures absent in some envs
+            floor = 0.3
         print(
-            f"# benching TRAINED flagship bundle {trained_path} on "
-            f"tone-speech audio (no proxy calibration)",
+            f"# trained bundle tone-speech emission rate {rate:.2f} "
+            f"tok/chunk (floor {floor:.2f})",
             file=sys.stderr,
         )
-    else:
+        if rate < floor and not env_path:
+            print(
+                "# trained bundle under-emits (mid-training checkpoint?)"
+                " — falling back to the calibrated proxy",
+                file=sys.stderr,
+            )
+            trained = False
+        else:
+            print(
+                f"# benching TRAINED flagship bundle {trained_path} on "
+                f"tone-speech audio (no proxy calibration)",
+                file=sys.stderr,
+            )
+    if not trained:
         bundle = build_bundle()
         # pin the decode workload to a trained model's emission rate
         try:
