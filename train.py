@@ -195,6 +195,7 @@ def main(argv=None):
     # Learner.step_chained); multi-host keeps per-step global batches
     chain_k = max(args.chain_steps, 1) if not multiproc else 1
     last_save = time.time()
+    pending: dict = {}  # bucket shape -> batches awaiting a full chain
 
     def run_chunk(chunk):
         nonlocal step, metrics
@@ -233,18 +234,20 @@ def main(argv=None):
                     if args.eval_every > 0
                     else max(len(batches) // max(tests_per_epoch, 1), 1)
                 )
-            # accumulate lazy runs of same-shape batches up to chain_k
-            # (the sortish batcher emits bucket-adjacent shapes, so runs
-            # are long; buffering the whole epoch would not scale)
-            run: list = []
+            # per-shape pending buffers dispatch EXACT-K chains only
+            # (variable chain lengths would compile a separate full-step
+            # program per (K, bucket) pair); buffers persist across
+            # epoch boundaries — small epochs rarely fill K within one —
+            # and leftovers flush as single steps after the last epoch
             for batch in batches:
-                if run and (len(run) >= chain_k
-                            or batch.audio.shape != run[0].audio.shape):
-                    run_chunk(run)
-                    run = []
-                run.append(batch)
-            if run:
-                run_chunk(run)
+                if chain_k <= 1:
+                    run_chunk([batch])
+                    continue
+                buf = pending.setdefault(batch.audio.shape, [])
+                buf.append(batch)
+                if len(buf) >= chain_k:
+                    chunk, pending[batch.audio.shape] = buf, []
+                    run_chunk(chunk)
             if rank0:
                 print(
                     f"[train] epoch {epoch} done step={step} "
@@ -255,6 +258,10 @@ def main(argv=None):
             if time.time() - last_save >= args.ckpt_every_s:
                 save_train_state(os.path.abspath(args.ckpt), learner.state)
                 last_save = time.time()
+        # epochs exhausted: flush chain leftovers as single steps
+        for buf in pending.values():
+            for b in buf:
+                run_chunk([b])
     except (StopIteration, KeyboardInterrupt):
         pass
 
