@@ -157,6 +157,10 @@ def main(argv=None):
                    help="override accumulate_n_batches (0 = keep config; "
                         "small corpora want 1 — the flagship default of "
                         "10 makes 10 loader steps per optimizer update)")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="dotted config override, e.g. "
+                        "model.encoder.use_tmp_state_pcent=0.25 "
+                        "(YAML-parsed value; repeatable)")
     a = p.parse_args(argv)
 
     import yaml
@@ -208,6 +212,17 @@ def main(argv=None):
     if (conf.get("mesh", {}) or {}).get("model", 1) > 1:
         data_axis = max(data_axis // conf["mesh"]["model"], 1)
     conf["buckets"] = derive_buckets(conf, a.n_buckets, data_axis)
+
+    for kv in a.set:
+        key, _, val = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects K=V, got {kv!r}")
+        d = conf
+        *parents, leaf = key.split(".")
+        for part in parents:
+            d = d.setdefault(part, {})
+        d[leaf] = yaml.safe_load(val)
+        print(f"[train-960] override {key} = {d[leaf]!r}")
 
     gen_conf = os.path.join(out, "train960.yaml")
     with open(gen_conf, "w") as f:
