@@ -1,0 +1,129 @@
+"""Pipeline parallelism for uniform RNN stacks (net-new vs the
+reference, which is single-process single-GPU — SURVEY.md §5.8).
+
+GPipe-style schedule over a 1-D "pipe" mesh axis: the L stacked
+[H -> H] LSTM layers are split into P contiguous stages; the batch is
+split into M microbatches; at schedule step k stage p processes
+microbatch k - p and hands its activations to stage p + 1 over ICI via
+`ppermute`. Everything is jax primitives inside `shard_map`, so the
+whole pipeline is differentiable — `jax.grad` through it yields the
+standard 1F1B-equivalent backward wave for free (reverse-mode AD of the
+forward schedule).
+
+Scope (deliberate): layers must be uniform [H -> H] LSTM cells — run
+the input projection / first non-uniform layer outside the pipeline
+(data-parallel), the way embedding layers sit outside GPipe stages.
+Cross-batch state carries are a streaming-training feature and are not
+threaded through the pipeline; fresh (zero or learned) h0 is applied
+per microbatch by the caller's closure.
+
+Reference match: none — the reference has no distributed training at
+all (SURVEY.md §5.8); this extends the mesh story (dp/tp in
+parallel/mesh.py) with pp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.rnn import LSTMParams, lstm_scan
+
+
+def stack_layer_params(layers: list[LSTMParams]) -> LSTMParams:
+    """Stack per-layer LSTMParams into one pytree with a leading [L]
+    layer axis (shard it over "pipe" to place L/P layers per stage)."""
+    return LSTMParams(
+        *(jnp.stack([getattr(l, f) for l in layers])
+          for f in LSTMParams._fields)
+    )
+
+
+def _layer(params: LSTMParams, j: int) -> LSTMParams:
+    return LSTMParams(*(getattr(params, f)[j] for f in LSTMParams._fields))
+
+
+def pipeline_lstm_stack(
+    stacked: LSTMParams,
+    x: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "pipe",
+    n_micro: int,
+    lengths: jax.Array | None = None,
+    compute_dtype=None,
+):
+    """Run an L-layer [H -> H] LSTM stack pipelined over mesh[axis].
+
+    stacked: LSTMParams with leading layer axis [L] (stack_layer_params),
+      L divisible by the axis size; x: [N, T, H] with N divisible by
+      n_micro. Returns y: [N, T, H], replicated over the pipe axis.
+    """
+    n_stages = mesh.shape[axis]
+    n, t, h = x.shape
+    n_layers = stacked.kernel.shape[0]
+    if n_layers % n_stages:
+        raise ValueError(f"{n_layers} layers not divisible by {n_stages} stages")
+    if n % n_micro:
+        raise ValueError(f"batch {n} not divisible by {n_micro} microbatches")
+    if stacked.kernel.shape[1] != h:
+        raise ValueError("pipeline stages must be uniform [H -> H] layers; "
+                         "run the input projection outside the pipeline")
+    mb = n // n_micro
+    per_stage = n_layers // n_stages
+    xm = x.reshape(n_micro, mb, t, h)
+    if lengths is None:  # full-length gating == ungated scan
+        lengths = jnp.full((n,), t, jnp.int32)
+    lm = lengths.reshape(n_micro, mb)
+    fwd = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def stage_fn(params, xm_all, lm_all):
+        p = jax.lax.axis_index(axis)
+        is_first = p == 0
+        is_last = p == n_stages - 1
+        buf = jnp.zeros((mb, t, h), x.dtype)
+        out = jnp.zeros((n_micro, mb, t, h), x.dtype)
+        zero_state = (
+            jnp.zeros((mb, h), x.dtype), jnp.zeros((mb, h), x.dtype)
+        )
+        for k in range(n_micro + n_stages - 1):
+            m = k - p                      # this stage's microbatch index
+            m_c = jnp.clip(m, 0, n_micro - 1)
+            valid = jnp.logical_and(m >= 0, m < n_micro)
+            feed = xm_all[jnp.clip(jnp.asarray(k), 0, n_micro - 1)]
+            y = jnp.where(is_first, feed, buf)
+            l = lm_all[m_c]
+            for j in range(per_stage):
+                y, _ = lstm_scan(
+                    y, zero_state, _layer(params, j),
+                    lengths=l, compute_dtype=compute_dtype,
+                )
+            keep = jnp.where(
+                jnp.logical_and(valid, is_last), 1.0, 0.0
+            ).astype(y.dtype)
+            out = out.at[m_c].add(keep * y)
+            buf = jax.lax.ppermute(y, axis, fwd)
+        # only the last stage accumulated output; psum replicates it
+        return jax.lax.psum(out, axis)
+
+    # the masked per-stage .at[].add defeats the replication checker
+    # (check_vma / legacy check_rep), so it is disabled either way
+    try:
+        from jax import shard_map
+
+        run = shard_map(
+            stage_fn, mesh=mesh,
+            in_specs=(P(axis), P(), P()), out_specs=P(),
+            check_vma=False,
+        )
+    except (ImportError, TypeError):  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        run = _sm(
+            stage_fn, mesh=mesh,
+            in_specs=(P(axis), P(), P()), out_specs=P(),
+            check_rep=False,
+        )
+    out = run(stacked, xm, lm)
+    return out.reshape(n, t, h)
