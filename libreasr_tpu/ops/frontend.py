@@ -297,7 +297,7 @@ class FrontendConfig:
     @classmethod
     def from_config(cls, conf: dict) -> "FrontendConfig":
         mk = conf.get("melkwargs", {})
-        return cls(
+        kw = dict(
             sr=conf.get("sr", 16000),
             n_fft=mk.get("n_fft", 1024),
             n_mels=mk.get("n_mels", 128),
@@ -306,6 +306,30 @@ class FrontendConfig:
             deltas=conf.get("deltas", 0),
             delta_win_length=conf.get("delta_win_length", 3),
         )
+        # SpecAugment follows the config's feature pipeline (reference
+        # transforms.py:345-427: a stage present = that augmentation on,
+        # with its args; absent = off). Configs without a feature list
+        # keep the dataclass defaults (programmatic use).
+        feats = (conf.get("transforms") or {}).get("features")
+        if feats:
+            def stage(name):
+                for s in feats:
+                    if (s or {}).get("name") == name:
+                        return s.get("args") or {}
+                return None
+
+            cut, mt, mf = (
+                stage("CutFrames"), stage("MaskTime"), stage("MaskFreq")
+            )
+            kw.update(
+                cut_max_front=cut.get("max_front", 1) if cut is not None else 0,
+                cut_max_back=cut.get("max_back", 1) if cut is not None else 0,
+                time_masks=mt.get("num_masks", 4) if mt is not None else 0,
+                time_mask_size=mt.get("size", 2) if mt is not None else 0,
+                freq_masks=mf.get("num_masks", 4) if mf is not None else 0,
+                freq_mask_size=mf.get("size", 4) if mf is not None else 0,
+            )
+        return cls(**kw)
 
     def out_length(self, n_samples):
         return stacked_length(
@@ -347,11 +371,19 @@ def features_batch(
     if augment:
         assert rng is not None, "augment=True requires rng"
         k1, k2, k3 = jax.random.split(rng, 3)
-        mel, frame_len = cut_frames(
-            mel, frame_len, k1, max_front=cfg.cut_max_front, max_back=cfg.cut_max_back
-        )
-        mel = mask_time(mel, k2, num_masks=cfg.time_masks, size=cfg.time_mask_size)
-        mel = mask_freq(mel, k3, num_masks=cfg.freq_masks, size=cfg.freq_mask_size)
+        if cfg.cut_max_front or cfg.cut_max_back:
+            mel, frame_len = cut_frames(
+                mel, frame_len, k1,
+                max_front=cfg.cut_max_front, max_back=cfg.cut_max_back,
+            )
+        if cfg.time_masks and cfg.time_mask_size:
+            mel = mask_time(
+                mel, k2, num_masks=cfg.time_masks, size=cfg.time_mask_size
+            )
+        if cfg.freq_masks and cfg.freq_mask_size:
+            mel = mask_freq(
+                mel, k3, num_masks=cfg.freq_masks, size=cfg.freq_mask_size
+            )
     feats = stack_downsample(mel, n_stack=cfg.n_stack, downsample=cfg.downsample)
     out_len = stacked_length(frame_len, n_stack=cfg.n_stack, downsample=cfg.downsample)
     out_len = jnp.clip(out_len, 1, feats.shape[1])

@@ -161,6 +161,11 @@ def main(argv=None):
                    help="dotted config override, e.g. "
                         "model.encoder.use_tmp_state_pcent=0.25 "
                         "(YAML-parsed value; repeatable)")
+    p.add_argument("--no-augment", action="store_true",
+                   help="strip the randomized augmentation stages (speed "
+                        "perturb, SpecAugment masks/cuts, noise, shifts); "
+                        "frequency-coded synthetic corpora are corrupted "
+                        "by speed/mask augmentation")
     a = p.parse_args(argv)
 
     import yaml
@@ -212,6 +217,13 @@ def main(argv=None):
     if (conf.get("mesh", {}) or {}).get("model", 1) > 1:
         data_axis = max(data_axis // conf["mesh"]["model"], 1)
     conf["buckets"] = derive_buckets(conf, a.n_buckets, data_axis)
+
+    if a.no_augment:
+        tf = conf.get("transforms") or {}
+        for k, stages in tf.items():
+            if isinstance(stages, list):
+                tf[k] = [s for s in stages if not (s or {}).get("wrap")]
+        print("[train-960] randomized augmentation stages stripped")
 
     for kv in a.set:
         key, _, val = kv.partition("=")

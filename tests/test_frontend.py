@@ -92,3 +92,48 @@ def test_compute_deltas_constant_signal():
     x = jnp.ones((1, 12, 8))
     d = fe.compute_deltas(x)
     np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_frontend_config_reads_specaugment_stages():
+    """SpecAugment params follow the config's feature pipeline: stage
+    present -> its args apply; stage absent -> that augmentation is off
+    (reference transforms.py:345-427 semantics). Previously the YAML
+    args were silently ignored and hard defaults always applied."""
+    from libreasr_tpu.ops.frontend import FrontendConfig
+
+    conf = {
+        "transforms": {"features": [
+            {"name": "LogMelSpectrogram"},
+            {"name": "MaskTime", "wrap": True,
+             "args": {"num_masks": 7, "size": 3}},
+            {"name": "StackDownsample", "args": {"downsample": 8}},
+        ]},
+    }
+    cfg = FrontendConfig.from_config(conf)
+    assert cfg.time_masks == 7 and cfg.time_mask_size == 3
+    assert cfg.freq_masks == 0 and cfg.cut_max_front == 0  # absent = off
+
+    # no feature list at all: programmatic defaults stay
+    cfg2 = FrontendConfig.from_config({})
+    assert cfg2.time_masks == 4 and cfg2.freq_masks == 4
+
+
+def test_features_batch_augment_noop_when_disabled(rng):
+    """augment=True with all SpecAugment stages disabled must equal the
+    un-augmented features (the recipe's --no-augment path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libreasr_tpu.ops.frontend import FrontendConfig, features_batch
+
+    cfg = FrontendConfig(
+        cut_max_front=0, cut_max_back=0, time_masks=0, time_mask_size=0,
+        freq_masks=0, freq_mask_size=0,
+    )
+    audio = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    lens = jnp.array([16000, 12000])
+    a, la = features_batch(audio, lens, cfg, rng=jax.random.PRNGKey(0),
+                           augment=True)
+    b, lb = features_batch(audio, lens, cfg)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
