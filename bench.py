@@ -67,22 +67,32 @@ def golden_emission_rate() -> float:
     bundle = ASRBundle.from_bundle(
         os.path.join(fx, "model_bpe.tar.gz"), extract_to="./tmp/bench_golden"
     )
+    from libreasr_tpu.models.streaming import StreamingEngine
+
     eng = StreamingEngine(bundle, n_streams=8)
-    slots = [eng.open_slot() for _ in range(8)]
     chunk = eng.scfg.chunk_samples
     n_chunks = 16000 // chunk + 1  # + flush chunk for the frontend carry
     audio = np.zeros((8, n_chunks * chunk), np.float32)
     for i in range(8):
         pcm, sr = read_audio(os.path.join(fx, f"s-{i:03d}.wav"))
         audio[i, : pcm.shape[1]] = pcm[0]
-    # feed() applies the EOS latch, so this counts the tokens a stream
-    # actually delivers (raw step_batch would also count post-EOS drift
-    # tokens the latch discards — ~6x inflation on this clip set)
+    return latched_rate(eng, audio)
+
+
+def latched_rate(eng, audio: np.ndarray) -> float:
+    """Tokens per 80 ms chunk a stream actually DELIVERS: feed() applies
+    the EOS latch, so post-EOS drift tokens a raw step_batch would count
+    (~6x inflation on the golden clip set) are excluded. Both sides of
+    the trained-bundle gate must use THIS basis — comparing a raw
+    step_batch rate against a latched floor is ~6x too lenient."""
+    slots = [eng.open_slot() for _ in range(audio.shape[0])]
+    chunk = eng.scfg.chunk_samples
+    n_chunks = audio.shape[1] // chunk
     for c in range(n_chunks):
         for i, s in enumerate(slots):
             eng.feed(s, audio[i, c * chunk : (c + 1) * chunk])
     total = sum(len(eng.emitted[s]) for s in slots)
-    return total / float(8 * n_chunks)
+    return total / float(len(slots) * n_chunks)
 
 
 def measure_rate(eng, bundle, n: int, steps: int = 8, workload=None) -> float:
@@ -273,11 +283,27 @@ def main():
         # a mid-training (blank-collapsed) checkpoint emits almost
         # nothing, making the decode inner loop unrealistically light —
         # gate on the tone-speech emission rate reaching half the golden
-        # bundle's. An explicitly requested bundle (env var) is used
-        # regardless, with the rate printed so the run is attributable.
+        # bundle's, both measured on the SAME (EOS-latched feed()) basis.
+        # An explicitly requested bundle (env var) is used regardless,
+        # with the rate printed so the run is attributable.
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        from make_tone_corpus import WORDS, render
+
         eng = StreamingEngine(bundle, n_streams=8)
-        wk = tone_workload(8, eng.scfg.n_buffer, eng.scfg.chunk_samples)
-        rate = measure_rate(eng, bundle, 8, workload=wk)
+        chunk = eng.scfg.chunk_samples
+        trng = np.random.default_rng(1)
+        utts = [
+            render(" ".join(WORDS[int(trng.integers(len(WORDS)))]
+                            for _ in range(6)), trng)
+            for _ in range(8)
+        ]
+        n_chunks = max(len(u) for u in utts) // chunk + 2
+        audio = np.zeros((8, n_chunks * chunk), np.float32)
+        for i, u in enumerate(utts):
+            audio[i, : len(u)] = u
+        rate = latched_rate(eng, audio)
         del eng
         try:
             floor = 0.5 * golden_emission_rate()

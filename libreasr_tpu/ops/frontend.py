@@ -329,6 +329,12 @@ class FrontendConfig:
                 freq_masks=mf.get("num_masks", 4) if mf is not None else 0,
                 freq_mask_size=mf.get("size", 4) if mf is not None else 0,
             )
+            sd = stage("StackDownsample")
+            if sd is not None:
+                kw.update(
+                    n_stack=sd.get("n_stack", 10),
+                    downsample=sd.get("downsample", 8),
+                )
         return cls(**kw)
 
     def out_length(self, n_samples):

@@ -35,24 +35,41 @@ class TrainLogger:
                 self.wandb = None
         self.best_wer = float("inf")
         self._ema_loss = None
+        self._ema_step = None
 
-    def log_step(self, step: int, metrics: dict[str, Any], batch=None):
+    def log_step(self, step: int, metrics: dict[str, Any], batch=None,
+                 prev_step: int | None = None):
         # materialize device metrics only at logging cadence — a float()
-        # every step would synchronize with the device per step
-        if step % self.every != 0 or self.writer is None:
+        # every step would synchronize with the device per step.
+        # Chained dispatch strides the counter by K (prev_step given):
+        # fire on cadence *crossings* so strides not aligned with
+        # `every` still log.
+        if self.writer is None:
             return
+        if prev_step is not None:
+            if step // self.every <= prev_step // self.every:
+                return
+        elif step % self.every != 0:
+            return
+        # the chain mean (when present) feeds the EMA so intra-chain
+        # losses aren't dropped; train/loss stays the last-step value
         loss = float(metrics["loss"])
+        ema_in = float(metrics.get("loss_mean", metrics["loss"]))
         # EMA over sampled (logged) losses. The reference smooths with
         # per-step decay 0.98 (fastai smooth_loss); sampling every N
         # steps, decay 0.98**N per sample gives the same time constant,
         # so train/smooth_loss curves stay comparable across logging
         # intervals (and to reference runs)
-        decay = 0.98 ** self.every
-        self._ema_loss = (
-            loss
-            if self._ema_loss is None
-            else decay * self._ema_loss + (1.0 - decay) * loss
+        interval = (
+            step - self._ema_step if self._ema_step is not None else self.every
         )
+        decay = 0.98 ** max(interval, 1)
+        self._ema_loss = (
+            ema_in
+            if self._ema_loss is None
+            else decay * self._ema_loss + (1.0 - decay) * ema_in
+        )
+        self._ema_step = step
         w = self.writer
         w.add_scalar("train/loss", loss, step)
         w.add_scalar("train/smooth_loss", self._ema_loss, step)

@@ -413,8 +413,11 @@ class Learner:
         if len(batches) == 1:
             return self.step(batches[0])
         shape = batches[0].audio.shape
-        if any(b.audio.shape != shape for b in batches):
-            raise ValueError("step_chained needs one bucket shape per chain")
+        yshape = batches[0].labels.shape
+        if any(b.audio.shape != shape or b.labels.shape != yshape
+               for b in batches):
+            raise ValueError("step_chained needs one bucket shape per chain "
+                             "(audio AND label padding)")
         n = shape[0]
         carry = self.carries.get(n)
         if carry is None:

@@ -199,7 +199,12 @@ def main(argv=None):
 
     def run_chunk(chunk):
         nonlocal step, metrics
-        if chain_k > 1 and len(chunk) > 1:
+        if args.steps and len(chunk) > args.steps - step:
+            chunk = chunk[: args.steps - step]  # don't overshoot --steps
+        # exactly-K chunks use the chained program; anything shorter
+        # (stop-truncation, final flush) steps singly — a variable chain
+        # length would compile a separate full-step program per length
+        if chain_k > 1 and len(chunk) == chain_k:
             metrics = learner.step_chained(chunk)
         else:
             for b in chunk:
@@ -209,7 +214,9 @@ def main(argv=None):
         # synchronize with the device every step
         step += len(chunk)
         if rank0:
-            logger.log_step(step, metrics, chunk[-1])
+            # chains stride the counter by K, so the logger gets the
+            # stride to fire on cadence crossings and scale its EMA
+            logger.log_step(step, metrics, chunk[-1], prev_step=prev)
         # global-step cadence: epochs can be shorter than the interval
         # (small corpora) and chains can stride past the exact multiple
         if (eval_every and not multiproc
@@ -243,15 +250,23 @@ def main(argv=None):
                 if chain_k <= 1:
                     run_chunk([batch])
                     continue
-                buf = pending.setdefault(batch.audio.shape, [])
+                # buckets can share an audio shape but differ in label
+                # padding — the chain stacks every Batch field, so the
+                # key must cover them all
+                key = (batch.audio.shape, batch.labels.shape)
+                buf = pending.setdefault(key, [])
                 buf.append(batch)
                 if len(buf) >= chain_k:
-                    chunk, pending[batch.audio.shape] = buf, []
+                    chunk, pending[key] = buf, []
                     run_chunk(chunk)
             if rank0:
+                loss_s = (
+                    f"{float(metrics['loss']):.3f}"
+                    if step > start_step else "n/a (no chain filled yet)"
+                )
                 print(
                     f"[train] epoch {epoch} done step={step} "
-                    f"loss={float(metrics['loss']):.3f} ({time.time()-t0:.0f}s)"
+                    f"loss={loss_s} ({time.time()-t0:.0f}s)"
                 )
             # a full orbax save streams the whole train state off the
             # device — throttle to every ckpt_every_s (final save below)
