@@ -110,6 +110,9 @@ def test_train_cli_runs_and_resumes(tiny_conf, tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "resumed" in out
+    # chained dispatch must stop EXACTLY at --steps (chunks truncate;
+    # overshooting would run past the lr schedule end)
+    assert "done: step=5" in out
 
 
 def test_bundle_roundtrip(tiny_conf, tmp_path):
