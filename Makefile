@@ -17,6 +17,20 @@ ROOT ?= /data/LibriSpeech
 train-960:
 	$(PY) scripts/train_960.py --root $(ROOT) $(DOWNLOAD)
 
+# trained-flagship decode bench artifact: synthesize the tone corpus
+# (no speech data in this environment) and train the 70M flagship on
+# it through the same 960 recipe; bench.py auto-benches the resulting
+# bundle. Augmentation is stripped (tones are frequency-coded) and the
+# cross-batch state carry is lowered so the learned h0 actually trains
+# at this step count.
+train-tone-flagship:
+	$(PY) scripts/make_tone_corpus.py --out tmp/tone_corpus
+	$(PY) scripts/train_960.py --root tmp/tone_corpus --out tmp/flagship_tone \
+	  --steps 5000 --eval-every 500 --eval-batches 8 --accumulate 1 \
+	  --chain-steps 8 --no-augment \
+	  --set model.encoder.use_tmp_state_pcent=0.25 \
+	  --set model.predictor.use_tmp_state_pcent=0.25
+
 # serving: per-language gRPC servers + WS bridge (reference :59-68)
 sen:
 	$(PY) -m libreasr_tpu.serving.server --lang en --port 50051
@@ -54,4 +68,4 @@ bench:
 tensorboard:
 	tensorboard --logdir runs --port 6006 --host 0.0.0.0
 
-.PHONY: train train-lm train-960 sen sde b deploy client gen native test bench tensorboard
+.PHONY: train train-lm train-960 train-tone-flagship sen sde b deploy client gen native test bench tensorboard
