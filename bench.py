@@ -390,6 +390,11 @@ def main():
                 "value": round(best, 1),
                 "unit": "streams",
                 "vs_baseline": round(best / 64.0, 3),
+                # which protocol produced this number — the two are not
+                # directly comparable (trained bundle decodes tone
+                # speech at its natural rate; the proxy is calibrated
+                # AT OR ABOVE the golden bundle's rate on noise)
+                "workload": "trained-bundle" if trained else "calibrated-proxy",
             }
         )
     )

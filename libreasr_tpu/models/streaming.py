@@ -205,7 +205,8 @@ class StreamingEngine:
             self.frontend, self.scfg.chunk_samples
         )
         # variables enter as a jit argument (arg 0), state is donated
-        self._step = jax.jit(self._build_step(), donate_argnums=(1,))
+        self._step_fn_raw = self._build_step()
+        self._step = jax.jit(self._step_fn_raw, donate_argnums=(1,))
         # chained-step programs (backlog recovery), compiled per depth
         self._step_chain: dict[int, Any] = {}
         self.state: StreamState | None = None
@@ -604,7 +605,10 @@ class StreamingEngine:
     def _chained_step_fn(self, k: int):
         fn = self._step_chain.get(k)
         if fn is None:
-            step = self._build_step()
+            # one shared step closure across all chain depths — each
+            # depth still compiles its own XLA program, but the Python
+            # trace closure need not be rebuilt per depth
+            step = self._step_fn_raw
 
             def step_k(variables, state, chunks_k, valid_k, reset_k,
                        fresh_dec):
@@ -713,8 +717,11 @@ class StreamingEngine:
         dpacked, valid, epochs = pending
         packed = np.asarray(dpacked)
         sub = valid.sum(axis=0) if valid.ndim == 2 else valid.astype(np.int64)
-        # clamp: open_slot zeroes a reopened slot's inflight count while
-        # the old occupant's step may still be collecting
+        # epoch guard (same rule _distribute applies per slot): a
+        # reopened slot's NEW occupant owns the zeroed inflight count —
+        # an old occupant's collect must not decrement it, or the
+        # silence gate sees 0 while the new dispatch is still in flight
+        sub = np.where(epochs == self._reset_epoch, sub, 0)
         self._inflight = np.maximum(self._inflight - sub, 0)
         if valid.ndim == 2:  # chained record
             for j in range(valid.shape[0]):

@@ -26,13 +26,24 @@ def _load(name: str) -> ctypes.CDLL | None:
         path = os.path.join(_BUILD, f"lib{name}.so")
         # always run make: a no-op when the .so is fresh (ms), a rebuild
         # when the C++ source changed — a stale binary silently missing
-        # newer symbols is worse than the stat calls
+        # newer symbols is worse than the stat calls. The _LOCK above
+        # serializes threads; the flock serializes PROCESSES (parallel
+        # tests / dataloader processes), since make writes the .so
+        # non-atomically and a concurrent dlopen would see a torn ELF.
         try:
-            subprocess.run(
-                ["make", "-C", _DIR, f"build/lib{name}.so"],
-                check=True,
-                capture_output=True,
-            )
+            os.makedirs(_BUILD, exist_ok=True)
+            import fcntl
+
+            with open(os.path.join(_BUILD, f".lib{name}.lock"), "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    subprocess.run(
+                        ["make", "-C", _DIR, f"build/lib{name}.so"],
+                        check=True,
+                        capture_output=True,
+                    )
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
         except Exception:
             if not os.path.exists(path):
                 _LIBS[name] = None

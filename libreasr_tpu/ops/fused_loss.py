@@ -85,11 +85,15 @@ def _joint_pallas_ok(jp: JointParams, cdt, u1: int) -> bool:
 
     if os.environ.get("LIBREASR_NO_PALLAS_JOINT") == "1":
         return False
+    from .pallas.joint_lp import MAX_U1
+
     if jax.default_backend() != "tpu":
-        return os.environ.get("LIBREASR_FORCE_PALLAS") == "1"
+        # forced interpret mode still traces the bwd row-slicer, whose
+        # temporaries are only bounded for u1 <= MAX_U1 (_n_slices
+        # raises past it) — the bound applies off-TPU too
+        return os.environ.get("LIBREASR_FORCE_PALLAS") == "1" and u1 <= MAX_U1
     if cdt is None:
         return False
-    from .pallas.joint_lp import MAX_U1
 
     j, v = jp.w_out.shape
     # u1 bound: the fwd kernel holds all BT*Up rows of one tile's

@@ -70,6 +70,17 @@ def _validate_cache(cache_dir):
         # entry to probe — it cannot be validated, only distrusted
         shutil.rmtree(cache_dir, ignore_errors=True)
         os.makedirs(cache_dir, exist_ok=True)
+    elif entries and os.path.exists(marker):
+        # nothing written since the last successful probe — skip the
+        # child-process JAX import (it costs seconds per pytest start)
+        try:
+            newest = max(
+                os.path.getmtime(os.path.join(cache_dir, e)) for e in entries
+            )
+            if os.path.getmtime(marker) >= newest:
+                return
+        except OSError:
+            pass  # raced a writer; fall through to the probe
     code = (
         "import os\n"
         "os.environ['JAX_PLATFORMS'] = 'cpu'\n"

@@ -310,6 +310,31 @@ def test_pipelined_dispatch_gates_on_inflight_silence(bundle, rng):
     eng.step_collect(p2)
 
 
+def test_collect_after_reopen_keeps_new_occupants_inflight(bundle, rng):
+    """A reopened slot's NEW occupant owns the (zeroed) in-flight count:
+    the OLD occupant's still-pending collect must not decrement it —
+    that would re-enable the silence gate while the new dispatch is
+    still in flight."""
+    audio = (rng.standard_normal(1280 * 6) * 0.1).astype(np.float32)
+    eng = StreamingEngine(bundle, n_streams=1)
+    s = eng.open_slot()
+    eng.append_samples(s, audio)
+    p_old = eng.step_dispatch()  # old occupant's step, uncollected
+    assert p_old is not None and int(eng._inflight[s]) == 1
+    eng.close_slot(s)
+    s2 = eng.open_slot()  # same physical slot, new occupant
+    assert s2 == s and int(eng._inflight[s2]) == 0
+    eng.append_samples(s2, audio)
+    p_new = eng.step_dispatch()
+    assert p_new is not None and int(eng._inflight[s2]) == 1
+    eng.step_collect(p_old)  # stale: epoch advanced past dispatch
+    assert int(eng._inflight[s2]) == 1, (
+        "stale collect stole the new occupant's in-flight count"
+    )
+    eng.step_collect(p_new)
+    assert int(eng._inflight[s2]) == 0
+
+
 def test_pipelined_run_matches_sequential(bundle, rng):
     """Full pipelined driving (dispatch-ahead like the serving stepper,
     mixing chained and single steps) must emit exactly what sequential

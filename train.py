@@ -201,6 +201,8 @@ def main(argv=None):
         nonlocal step, metrics
         if args.steps and len(chunk) > args.steps - step:
             chunk = chunk[: args.steps - step]  # don't overshoot --steps
+        if not chunk:  # resumed at/past --steps: nothing left to run
+            raise StopIteration
         # exactly-K chunks use the chained program; anything shorter
         # (stop-truncation, final flush) steps singly — a variable chain
         # length would compile a separate full-step program per length
@@ -227,6 +229,8 @@ def main(argv=None):
             raise StopIteration
 
     try:
+        if args.steps and step >= args.steps:
+            raise StopIteration  # resumed at/past the budget
         for epoch in range(epochs):
             batches = list(train_ds) if eval_every is None else train_ds
             if eval_every is None and hasattr(batches, "__len__"):
