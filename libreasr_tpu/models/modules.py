@@ -184,6 +184,53 @@ class RNNLayer(nn.Module):
         return y, new_state
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over features whose batch statistics come from VALID
+    (unpadded) frames only. The reference's per-layer BN sees packed
+    sequences (custom_rnn.py:210-213 via pack_padded_sequence), so
+    padded positions never pollute its statistics; normalizing padded
+    frames too makes each bucket's batch stats depend on its padding
+    fraction, and the momentum-averaged running stats then fit no
+    bucket at eval. Param/stat names and eval math are IDENTICAL to
+    flax nn.BatchNorm (scale/bias params, mean/var batch_stats), so
+    existing checkpoints and golden bundles load unchanged."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, lengths=None, train: bool = False):
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        if train:
+            xf = x.astype(jnp.float32)
+            if lengths is None:
+                mean = xf.mean(axis=(0, 1))
+                var = xf.var(axis=(0, 1))
+            else:
+                mask = (
+                    jnp.arange(x.shape[1])[None, :] < lengths[:, None]
+                ).astype(jnp.float32)[..., None]
+                denom = jnp.maximum(mask.sum(), 1.0)
+                mean = (xf * mask).sum(axis=(0, 1)) / denom
+                var = (jnp.square(xf - mean) * mask).sum(axis=(0, 1)) / denom
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
 class RNNStack(nn.Module):
     """Multi-layer RNN stack: per-layer BatchNorm over features, optional
     inter-layer time reduction and rezero residual
@@ -239,12 +286,9 @@ class RNNStack(nn.Module):
                 lengths=lengths, train=train,
             )
             if self.use_norm:
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=0.9,
-                    epsilon=1e-5,
-                    name=f"norm{i}",
-                )(x)
+                x = MaskedBatchNorm(name=f"norm{i}")(
+                    x, lengths=lengths, train=train
+                )
             if self.rezero and residual is not None and residual.shape == x.shape:
                 x = x + residual
             residual = inp

@@ -119,3 +119,43 @@ def test_bos_token_override(tiny, rng):
     l1, _ = model.apply(variables, x, y)
     l2, _ = model.apply(variables, x, y, bos_tokens=jnp.full((n, 1), 5, jnp.int32))
     assert (np.asarray(l1) != np.asarray(l2)).any()
+
+
+def test_masked_batchnorm_ignores_padding():
+    """Batch statistics come from valid frames only (the reference's BN
+    sees packed sequences); eval math and variable names are identical
+    to flax nn.BatchNorm so existing checkpoints load unchanged."""
+    import flax.linen as fnn
+
+    from libreasr_tpu.models.modules import MaskedBatchNorm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 6, 8)).astype(np.float32))
+    lengths = jnp.array([6, 4, 3, 5])
+    # poison the padded region: masked stats must not move
+    big = x.at[1, 4:].set(1e3).at[2, 3:].set(-1e3).at[3, 5:].set(1e3)
+
+    m = MaskedBatchNorm()
+    v = m.init(jax.random.PRNGKey(0), x, lengths=lengths, train=True)
+    y_clean, s1 = m.apply(v, x, lengths=lengths, train=True,
+                          mutable=["batch_stats"])
+    y_poison, s2 = m.apply(v, big, lengths=lengths, train=True,
+                           mutable=["batch_stats"])
+    # identical on the valid region regardless of padding content
+    mask = np.arange(6)[None, :] < np.asarray(lengths)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(y_clean)[mask], np.asarray(y_poison)[mask],
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1["batch_stats"]["mean"]),
+        np.asarray(s2["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6,
+    )
+
+    # eval mode == flax BatchNorm given the same variables
+    ref = fnn.BatchNorm(use_running_average=True, momentum=0.9,
+                        epsilon=1e-5)
+    y_eval = m.apply(v, x, train=False)
+    y_ref = ref.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_eval), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
