@@ -29,7 +29,9 @@ train-tone-flagship:
 	  --steps 5000 --eval-every 500 --eval-batches 8 --accumulate 1 \
 	  --chain-steps 8 --no-augment \
 	  --set model.encoder.use_tmp_state_pcent=0.25 \
-	  --set model.predictor.use_tmp_state_pcent=0.25
+	  --set model.predictor.use_tmp_state_pcent=0.25 \
+	  --set model.encoder.norm=layer \
+	  --set model.predictor.norm=layer
 
 # serving: per-language gRPC servers + WS bridge (reference :59-68)
 sen:

@@ -247,6 +247,7 @@ class RNNStack(nn.Module):
     reduction_factors: tuple = ()
     rezero: bool = False
     use_norm: bool = True
+    norm: str = "batch"  # "batch" | "layer" | "none" (with use_norm)
     compute_dtype: Any = None
     length_mode: str = "pack"  # see RNNLayer.length_mode
     use_pallas: bool = False   # see RNNLayer.use_pallas
@@ -285,10 +286,20 @@ class RNNStack(nn.Module):
                 x, state=None if state is None else state[i],
                 lengths=lengths, train=train,
             )
-            if self.use_norm:
+            if self.use_norm and self.norm == "batch":
                 x = MaskedBatchNorm(name=f"norm{i}")(
                     x, lengths=lengths, train=train
                 )
+            elif self.use_norm and self.norm == "layer":
+                # per-sample statistics: no train/eval gap. BatchNorm's
+                # batch statistics are themselves informative when
+                # batches are homogeneous (small/synthetic corpora,
+                # same-bucket packing) — the model exploits them in
+                # training and collapses at eval under running stats
+                # (measured: same batch, batch-stats loss 0.036 vs
+                # running-stats 25.6). "layer" opts out of that
+                # pathology; "batch" stays default for reference parity.
+                x = nn.LayerNorm(name=f"norm{i}")(x)
             if self.rezero and residual is not None and residual.shape == x.shape:
                 x = x + residual
             residual = inp
@@ -308,6 +319,7 @@ class Encoder(nn.Module):
     dropout: float = 0.01
     rnn_type: str = "LSTM"
     layer_norm: bool = False
+    norm: str = "batch"  # inter-layer norm: "batch" | "layer" | "none"
     zoneout: float = 0.0
     reduction_indices: tuple = ()
     reduction_factors: tuple = ()
@@ -325,6 +337,7 @@ class Encoder(nn.Module):
             num_layers=self.num_layers,
             rnn_type=self.rnn_type,
             layer_norm=self.layer_norm,
+            norm=self.norm,
             zoneout=self.zoneout,
             reduction_indices=self.reduction_indices,
             reduction_factors=self.reduction_factors,
@@ -356,6 +369,7 @@ class Predictor(nn.Module):
     blank: int = 0
     rnn_type: str = "NBRC"
     layer_norm: bool = False
+    norm: str = "batch"  # inter-layer norm: "batch" | "layer" | "none"
     zoneout: float = 0.0
     compute_dtype: Any = None
 
@@ -371,6 +385,7 @@ class Predictor(nn.Module):
             num_layers=self.num_layers,
             rnn_type=self.rnn_type,
             layer_norm=self.layer_norm,
+            norm=self.norm,
             zoneout=self.zoneout,
             compute_dtype=self.compute_dtype,
             length_mode="haste" if self.rnn_type == "NBRC" else "pack",

@@ -38,6 +38,10 @@ class TransducerConfig:
     enc_dropout: float = 0.05
     enc_rnn_type: str = "LSTM"
     enc_layer_norm: bool = False
+    # inter-layer norm: "batch" (reference parity) | "layer" (no
+    # train/eval statistics gap — see models/modules.py MaskedBatchNorm
+    # note) | "none"
+    enc_norm: str = "batch"
     enc_reduction_indices: tuple = ()
     enc_reduction_factors: tuple = ()
     # fused Pallas LSTM for eval-mode encode on TPU (ops/pallas/lstm.py)
@@ -49,6 +53,7 @@ class TransducerConfig:
     pred_dropout: float = 0.05
     pred_rnn_type: str = "NBRC"
     pred_layer_norm: bool = False
+    pred_norm: str = "batch"
     zoneout: float = 0.0
     compute_dtype: Any = None
     # cross-batch state carry probabilities (reference use_tmp_state_pcent
@@ -76,6 +81,7 @@ class TransducerConfig:
             enc_dropout=enc["dropout"],
             enc_rnn_type=enc["rnn_type"],
             enc_layer_norm=enc.get("layer_norm", False),
+            enc_norm=enc.get("norm", "batch"),
             enc_reduction_indices=tuple(enc.get("reduction_indices", ())),
             enc_reduction_factors=tuple(enc.get("reduction_factors", ())),
             enc_use_pallas=enc.get("use_pallas", True),
@@ -84,6 +90,7 @@ class TransducerConfig:
             pred_dropout=pred["dropout"],
             pred_rnn_type=pred["rnn_type"],
             pred_layer_norm=pred.get("layer_norm", False),
+            pred_norm=pred.get("norm", "batch"),
             use_tmp_state_pcent=enc.get("use_tmp_state_pcent", 0.99),
             use_tmp_bos=m.get("use_tmp_bos", False),
             use_tmp_bos_pcent=m.get("use_tmp_bos_pcent", 0.2),
@@ -111,6 +118,7 @@ class Transducer(nn.Module):
             dropout=c.enc_dropout,
             rnn_type=c.enc_rnn_type,
             layer_norm=c.enc_layer_norm,
+            norm=c.enc_norm,
             zoneout=c.zoneout,
             reduction_indices=c.enc_reduction_indices,
             reduction_factors=c.enc_reduction_factors,
@@ -128,6 +136,7 @@ class Transducer(nn.Module):
             blank=c.blank,
             rnn_type=c.pred_rnn_type,
             layer_norm=c.pred_layer_norm,
+            norm=c.pred_norm,
             zoneout=c.zoneout,
             compute_dtype=c.compute_dtype,
         )

@@ -191,10 +191,13 @@ def make_train_step(
                 # flax returns the *whole* collection from each apply —
                 # take each tower's updated stats from its own call
                 # (naive dict-merge would overwrite encoder stats with
-                # the predictor call's stale copy)
+                # the predictor call's stale copy). norm="layer"/"none"
+                # models have no batch statistics at all.
                 new_bs = dict(state.batch_stats)
-                new_bs["encoder"] = upd1["batch_stats"]["encoder"]
-                new_bs["predictor"] = upd2["batch_stats"]["predictor"]
+                for key, upd in (("encoder", upd1), ("predictor", upd2)):
+                    stats = upd.get("batch_stats", {})
+                    if key in stats:
+                        new_bs[key] = stats[key]
                 per_seq = rnnt_loss_fused(
                     enc_out, pred_out, joint_params_from_flax(params["joint"]),
                     y, flens_red, yl, cfg.blank, loss_cfg.t_chunk,

@@ -159,3 +159,35 @@ def test_masked_batchnorm_ignores_padding():
     y_ref = ref.apply(v, x)
     np.testing.assert_allclose(np.asarray(y_eval), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_norm_layer_mode_no_train_eval_gap():
+    """norm='layer' swaps the inter-layer BatchNorm for LayerNorm:
+    identical outputs in train and eval mode (no batch statistics), so
+    synthetic/homogeneous-batch training cannot collapse at eval."""
+    from libreasr_tpu.models.transducer import (
+        TransducerConfig, init_transducer,
+    )
+
+    cfg = TransducerConfig(
+        feature_sz=40, embed_sz=8, vocab_sz=16, hidden_sz=16, out_sz=16,
+        joint_sz=16, enc_num_layers=2, pred_num_layers=1,
+        enc_norm="layer", pred_norm="layer",
+        enc_dropout=0.0, pred_dropout=0.0,
+    )
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    assert not variables.get("batch_stats"), (
+        "layer norm mode must not create batch statistics"
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 40)).astype(np.float32))
+    lens = jnp.array([6, 4])
+    (enc_tr, _), _ = model.apply(
+        variables, x, lengths=lens, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"], method=model.encode,
+    )
+    enc_ev, _ = model.apply(variables, x, lengths=lens, method=model.encode)
+    np.testing.assert_allclose(
+        np.asarray(enc_tr), np.asarray(enc_ev), rtol=1e-5, atol=1e-6
+    )
