@@ -20,14 +20,21 @@ train-960:
 # trained-flagship decode bench artifact: synthesize the tone corpus
 # (no speech data in this environment) and train the 70M flagship on
 # it through the same 960 recipe; bench.py auto-benches the resulting
-# bundle. Augmentation is stripped (tones are frequency-coded) and the
-# cross-batch state carry is lowered so the learned h0 actually trains
-# at this step count.
+# bundle. Tone-task specifics: augmentation stripped (tones are
+# frequency-coded — speed/mask augmentation shifts or erases the code),
+# LayerNorm instead of BatchNorm (homogeneous batches make batch
+# statistics informative: the model exploits them in training and
+# collapses at eval), small tokenizer vocab (whole-word BPE tokens on a
+# 400-utterance corpus force word-level acoustic mapping that cannot
+# generalize; near-char subwords keep it per-tone — the model HEAD
+# stays vocab 2048 for flagship shape parity), and a lowered
+# cross-batch state carry so the learned h0 actually trains at this
+# step count.
 train-tone-flagship:
 	$(PY) scripts/make_tone_corpus.py --out tmp/tone_corpus
 	$(PY) scripts/train_960.py --root tmp/tone_corpus --out tmp/flagship_tone \
 	  --steps 5000 --eval-every 500 --eval-batches 8 --accumulate 1 \
-	  --chain-steps 8 --no-augment \
+	  --chain-steps 8 --no-augment --vocab-sz 64 \
 	  --set model.encoder.use_tmp_state_pcent=0.25 \
 	  --set model.predictor.use_tmp_state_pcent=0.25 \
 	  --set model.encoder.norm=layer \
