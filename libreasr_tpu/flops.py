@@ -1,0 +1,184 @@
+"""Analytic model-FLOPs accounting for MFU reporting.
+
+Counts multiply-add matmul FLOPs (2*M*N*K per [M,K]x[K,N] product) for
+the transducer's hot paths — encoder/predictor RNN gate matmuls, the
+joint, the input projections and the RNN-T loss DP — so every ms/step
+number in the benches can be normalized to hardware capability
+(MFU = achieved FLOPs/s over peak FLOPs/s).
+
+Elementwise work (gate nonlinearities, layernorm, log-softmax) is a
+>100x smaller term on these shapes and is deliberately excluded: MFU is
+a matmul-capability metric (the MXU is what peak FLOPs describes).
+
+Cross-checked against XLA's own compiled cost analysis in
+tests/test_flops.py (within 35% on the train step — XLA counts the
+elementwise tail and rematerialization we exclude).
+
+Peak numbers: a TPU v5e (v5 lite) chip peaks at 394 TFLOP/s for bf16
+matmuls and 197 TFLOP/s for fp32 (public spec table, "How to Scale
+Your Model" §TPUs). jax reports the device kind at runtime.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# bf16 matmul peak FLOP/s per chip, by jax device_kind substring
+PEAK_BF16 = {
+    "v5 lite": 394e12,
+    "v5e": 394e12,
+    "v4": 275e12,
+    "v5p": 459e12,
+    "v6": 918e12,
+    "cpu": 1e12,  # nominal; CPU MFU is not meaningful
+}
+
+
+def device_peak_flops(device=None) -> float:
+    """Best-effort peak bf16 FLOP/s for the current (or given) device."""
+    import jax
+
+    d = device or jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    for key, peak in PEAK_BF16.items():
+        if key in kind:
+            return peak
+    return PEAK_BF16["v5 lite"]  # this environment's chip
+
+
+def lstm_layer_flops(in_sz: int, hidden_sz: int) -> float:
+    """Matmul FLOPs for ONE LSTM cell step of ONE sample: the 4 gate
+    products against the input and the recurrent state."""
+    return 2.0 * 4 * hidden_sz * (in_sz + hidden_sz)
+
+
+def gru_layer_flops(in_sz: int, hidden_sz: int) -> float:
+    """One GRU ("NBRC", see ops/rnn.py) cell step: 3 gates."""
+    return 2.0 * 3 * hidden_sz * (in_sz + hidden_sz)
+
+
+def _rnn_flops(rnn_type: str, in_sz: int, h: int) -> float:
+    return (
+        gru_layer_flops(in_sz, h)
+        if rnn_type.upper() in ("GRU", "NBRC")
+        else lstm_layer_flops(in_sz, h)
+    )
+
+
+def encoder_step_flops(cfg) -> float:
+    """One encoder timestep (one stacked 80 ms frame), one sample."""
+    f = _rnn_flops(cfg.enc_rnn_type, cfg.feature_sz, cfg.hidden_sz)
+    for _ in range(cfg.enc_num_layers - 1):
+        f += _rnn_flops(cfg.enc_rnn_type, cfg.hidden_sz, cfg.hidden_sz)
+    if cfg.out_sz != cfg.hidden_sz:
+        f += 2.0 * cfg.hidden_sz * cfg.out_sz  # proj
+    return f
+
+
+def predictor_step_flops(cfg) -> float:
+    """One predictor token step, one sample (embed lookup is free)."""
+    f = 0.0
+    if cfg.embed_sz != cfg.hidden_sz:
+        f += 2.0 * cfg.embed_sz * cfg.hidden_sz  # ffn
+    f += _rnn_flops(cfg.pred_rnn_type, cfg.hidden_sz, cfg.hidden_sz)
+    for _ in range(cfg.pred_num_layers - 1):
+        f += _rnn_flops(cfg.pred_rnn_type, cfg.hidden_sz, cfg.hidden_sz)
+    if cfg.out_sz != cfg.hidden_sz:
+        f += 2.0 * cfg.hidden_sz * cfg.out_sz
+    return f
+
+
+def joint_proj_flops(cfg) -> float:
+    """Joint input projection for ONE encoder (or predictor) position:
+    the "concat" joint is decomposed as two per-side projections with a
+    broadcast add (models/modules.py::Joint docstring), so each side is
+    projected once per ITS axis — never per (t, u) pair."""
+    return 2.0 * cfg.out_sz * cfg.joint_sz
+
+
+def joint_out_flops(cfg) -> float:
+    """Joint output head for ONE (t, u) lattice position: the only part
+    of the joint that runs per pair."""
+    return 2.0 * cfg.joint_sz * cfg.vocab_sz
+
+
+def joint_single_flops(cfg) -> float:
+    """One isolated joint evaluation (streaming decode inner loop: one
+    enc frame x one predictor state): both projections + the head."""
+    return 2.0 * joint_proj_flops(cfg) + joint_out_flops(cfg)
+
+
+def loss_dp_flops(T: int, U: int) -> float:
+    """RNN-T forward DP over the [T, U] lattice (ops/rnnt_loss.py):
+    ~6 flops per cell (two adds + logaddexp) — negligible next to the
+    joint but counted for completeness."""
+    return 6.0 * T * U
+
+
+def frontend_chunk_flops(fe, chunk_samples: int) -> float:
+    """On-device mel frontend for one 80 ms chunk, one stream: windowed
+    real DFT as two [F, n_fft] x [n_fft, n_fft/2+1] matmuls plus the
+    [F, n_fft/2+1] x [n_fft/2+1, n_mels] filterbank product
+    (models/streaming.py::mel_chunk / ops/frontend.py)."""
+    frames = chunk_samples // fe.hop
+    n_bins = fe.n_fft // 2 + 1
+    dft = 2.0 * frames * fe.n_fft * n_bins * 2  # re + im
+    fb = 2.0 * frames * n_bins * fe.n_mels
+    return dft + fb
+
+
+def train_step_flops(cfg, batch: int, T: int, U: int) -> float:
+    """Full training step: forward (encoder T steps, predictor U+1
+    steps, joint over the whole [T, U+1] lattice, loss DP) + backward
+    (standard 2x forward for matmul-dominated programs)."""
+    fwd = batch * (
+        T * encoder_step_flops(cfg)
+        + (U + 1) * predictor_step_flops(cfg)
+        + (T + U + 1) * joint_proj_flops(cfg)
+        + T * (U + 1) * joint_out_flops(cfg)
+        + loss_dp_flops(T, U + 1)
+    )
+    return 3.0 * fwd
+
+
+def decode_step_flops(
+    cfg, fe, n_streams: int, n_buffer: int, chunk_samples: int,
+    iters_per_frame: float = 2.0,
+) -> float:
+    """One batched streaming-engine step: frontend + encoder for
+    n_buffer frames per stream, plus the greedy inner loop's
+    predictor+joint evaluations. The while_loop early-exits on
+    all-blank, so the per-frame evaluation count is workload-dependent:
+    iters_per_frame = 1 (the mandatory blank check) + tokens emitted
+    per frame."""
+    per_frame = (
+        encoder_step_flops(cfg)
+        + iters_per_frame
+        * (predictor_step_flops(cfg) + joint_single_flops(cfg))
+    )
+    per_stream = n_buffer * (
+        frontend_chunk_flops(fe, chunk_samples) + per_frame
+    )
+    return n_streams * per_stream
+
+
+@dataclass(frozen=True)
+class MFU:
+    flops: float
+    seconds: float
+    peak: float
+
+    @property
+    def achieved(self) -> float:
+        return self.flops / self.seconds
+
+    @property
+    def mfu(self) -> float:
+        return self.achieved / self.peak
+
+    def __str__(self) -> str:  # "12.3% MFU (4.8 TFLOP/s)"
+        return f"{self.mfu * 100:.1f}% MFU ({self.achieved / 1e12:.2f} TFLOP/s)"
+
+
+def mfu(flops: float, seconds: float, device=None) -> MFU:
+    return MFU(flops=flops, seconds=seconds, peak=device_peak_flops(device))

@@ -57,6 +57,14 @@ class StreamingConfig:
     beam_width: int = 0          # 0/1 = greedy
     beam_buf_tokens: int = 64    # per-beam uncommitted-token window
     lm_alpha: float = 0.1
+    # host->device PCM codec. Wire audio is float32 (api-bridge.py:95),
+    # but nearly all capture sources are 16-bit; "int16" halves the
+    # upload bytes (the dominant per-step cost on remote-attached chips:
+    # measured ~23-50 MB/s through the axon tunnel vs a ~0.03 ms
+    # dispatch RTT) with quantization error 3e-5 — below the noise
+    # floor of any 16-bit capture chain. "float32" keeps the engine's
+    # bit-exact stream==batch feature guarantee.
+    transfer_dtype: str = "float32"
 
     @property
     def chunk_samples(self) -> int:
@@ -268,6 +276,10 @@ class StreamingEngine:
         def step(variables, state: StreamState, chunks, valid, reset, fresh_dec):
             """chunks: [N, n_buffer, C] raw pcm; valid/reset: [N] bool.
             fresh_dec: BOS-primed DecodeState (computed once on host)."""
+            if scfg.transfer_dtype == "int16":
+                # dequantize the wire codec (see StreamingConfig) before
+                # anything touches the samples
+                chunks = chunks.astype(jnp.float32) * (1.0 / 32768.0)
             fns = bundle.decoder_fns(use_lm, variables=variables)
 
             def encode_step(feats, enc_state):
@@ -442,6 +454,16 @@ class StreamingEngine:
                     *shard_batch(self.mesh, tuple(self._fresh_dec))
                 )
 
+    def _encode_chunks(self, chunks) -> np.ndarray:
+        """Apply the host side of the transfer codec (StreamingConfig.
+        transfer_dtype): float32 PCM in, wire-dtype array out."""
+        chunks = np.asarray(chunks)
+        if self.scfg.transfer_dtype == "int16" and chunks.dtype != np.int16:
+            chunks = np.clip(
+                chunks * 32768.0, -32768.0, 32767.0
+            ).astype(np.int16)
+        return chunks
+
     def _step_device(self, chunks, valid=None, reset=None):
         """Launch one device step; returns the packed DEVICE output
         ([N, K+1] int32: K token columns + a length column — one array so
@@ -451,7 +473,7 @@ class StreamingEngine:
         n = self.n
         valid = np.ones(n, bool) if valid is None else valid
         reset = np.zeros(n, bool) if reset is None else reset
-        chunks = jnp.asarray(chunks)
+        chunks = jnp.asarray(self._encode_chunks(chunks))
         valid = jnp.asarray(valid)
         reset = jnp.asarray(reset)
         if self.mesh is not None:
@@ -637,7 +659,7 @@ class StreamingEngine:
         warmup precompile). Threads the donated stream state; returns
         the packed per-sub-step outputs [k, N, K_tok+1]."""
         self._ensure_state()
-        ch = jnp.asarray(chunks)
+        ch = jnp.asarray(self._encode_chunks(chunks))
         va = jnp.asarray(valid)
         re = jnp.asarray(reset)
         if self.mesh is not None:

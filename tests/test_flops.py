@@ -1,0 +1,125 @@
+"""FLOPs accounting (libreasr_tpu/flops.py) cross-checked against
+XLA's own compiled cost analysis.
+
+XLA's cost_analysis counts a `lax.scan`/while body ONCE regardless of
+trip count, so whole-program checks on long sequences are meaningless.
+Instead: (a) the full model forward at scan length 1 (T=1, U=0), where
+XLA's count is exact, and (b) component formulas against hand-built
+scan-free XLA programs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libreasr_tpu import flops as F
+from libreasr_tpu.models.transducer import (
+    Transducer,
+    TransducerConfig,
+    init_transducer,
+)
+
+
+def _xla_flops(fn, *args) -> float:
+    compiled = jax.jit(fn).lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns one dict per computation
+        ca = ca[0]
+    if not ca or "flops" not in ca:
+        pytest.skip("cost_analysis unavailable on this backend")
+    return float(ca["flops"])
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return TransducerConfig(
+        feature_sz=96,
+        embed_sz=64,
+        vocab_sz=128,
+        hidden_sz=128,
+        out_sz=128,
+        joint_sz=128,
+        enc_num_layers=2,
+        pred_num_layers=1,
+        enc_use_pallas=False,
+        enc_use_pallas_train=False,
+        use_tmp_state_pcent=0.0,
+    )
+
+
+def test_forward_flops_exact_at_scan_length_one(cfg):
+    """Full training forward at T=1, U=0 (every scan trips once, so
+    XLA's count is complete): the analytic matmul count must sit within
+    [85%, 100%] of XLA's — below because elementwise work is excluded
+    by design, close because matmuls dominate even at these shapes."""
+    model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
+    n, t, u = 8, 1, 0
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, t, cfg.feature_sz)).astype(np.float32))
+    y = jnp.zeros((n, u), jnp.int32)
+    xl = jnp.full((n,), t, jnp.int32)
+    yl = jnp.full((n,), u, jnp.int32)
+
+    def fwd(variables, x, y, xl, yl):
+        logits, _ = model.apply(variables, x, y, xl, yl)
+        return jnp.sum(logits)
+
+    got = _xla_flops(fwd, variables, x, y, xl, yl)
+    want = n * (
+        t * F.encoder_step_flops(cfg)
+        + (u + 1) * F.predictor_step_flops(cfg)
+        + (t + u + 1) * F.joint_proj_flops(cfg)
+        + t * (u + 1) * F.joint_out_flops(cfg)
+    )
+    assert want <= got * 1.001, f"analytic {want:.3e} exceeds XLA {got:.3e}"
+    assert want >= got * 0.85, f"analytic {want:.3e} vs XLA {got:.3e}: >15% off"
+
+
+def test_lstm_gate_formula_matches_xla(cfg):
+    """lstm_layer_flops == XLA's count for one explicit fused-gate cell
+    step (the exact computation ops/rnn.py's scan body performs)."""
+    h, in_sz, n = 128, 96, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, in_sz)).astype(np.float32))
+    hs = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    wx = jnp.asarray(rng.standard_normal((in_sz, 4 * h)).astype(np.float32))
+    wh = jnp.asarray(rng.standard_normal((h, 4 * h)).astype(np.float32))
+
+    got = _xla_flops(lambda x, hs, wx, wh: (x @ wx + hs @ wh).sum(), x, hs, wx, wh)
+    want = n * F.lstm_layer_flops(in_sz, h)
+    assert got * 0.98 <= want <= got * 1.02
+
+
+def test_train_step_flops_linear_in_shapes(cfg):
+    """The train-step count scales linearly in batch and ~linearly in T
+    (joint lattice dominates at large U), and backward counts 2x the
+    forward (the 3x convention for matmul-dominated programs)."""
+    base = F.train_step_flops(cfg, 4, 16, 8)
+    assert F.train_step_flops(cfg, 8, 16, 8) == pytest.approx(2 * base)
+    fwd = base / 3.0
+    assert fwd > 0
+
+
+def test_decode_step_iters_scaling(cfg):
+    """Decode-step FLOPs grow with the inner-loop evaluation count (the
+    workload knob that distinguishes a blank-heavy stream from a
+    token-dense one)."""
+    from libreasr_tpu.ops.frontend import FrontendConfig
+
+    fe = FrontendConfig()
+    lo = F.decode_step_flops(cfg, fe, 64, 1, 1280, iters_per_frame=1.0)
+    hi = F.decode_step_flops(cfg, fe, 64, 1, 1280, iters_per_frame=3.0)
+    assert hi > lo
+    assert F.decode_step_flops(cfg, fe, 128, 1, 1280) == pytest.approx(
+        2 * F.decode_step_flops(cfg, fe, 64, 1, 1280)
+    )
+
+
+def test_mfu_helper():
+    m = F.MFU(flops=39.4e12, seconds=1.0, peak=394e12)
+    assert m.mfu == pytest.approx(0.1)
+    assert "MFU" in str(m)
+
+
+def test_peak_lookup_has_default():
+    assert F.device_peak_flops() > 0

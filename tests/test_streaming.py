@@ -382,3 +382,29 @@ def test_warmup_precompiles_chain_programs(bundle):
     assert set(eng._step_chain) == set(CHAIN_DEPTHS)
     assert all(not o for o in eng.outbox)
     assert int(eng._inflight.sum()) == 0
+
+
+def test_int16_transfer_matches_float32(bundle, rng):
+    """transfer_dtype="int16" (the halved-bytes wire codec for
+    remote-attached chips) must decode 16-bit-sourced audio identically
+    to the float32 path: such audio is exactly representable, so the
+    quantize/dequantize roundtrip is lossless end-to-end."""
+    scfg16 = StreamingConfig(sr=bundle.frontend.sr, transfer_dtype="int16")
+    scfg32 = StreamingConfig(sr=bundle.frontend.sr)
+    # 16-bit-sourced PCM: integers / 32768
+    audio = (
+        (rng.standard_normal((2, 4, scfg16.chunk_samples)) * 3000)
+        .astype(np.int16)
+        .astype(np.float32)
+        / 32768.0
+    )
+    out = {}
+    for name, scfg in (("i16", scfg16), ("f32", scfg32)):
+        eng = StreamingEngine(bundle, n_streams=2, scfg=scfg)
+        got = [[], []]
+        for c in range(audio.shape[1]):
+            toks, lens = eng.step_batch(audio[:, c][:, None])
+            for i in range(2):
+                got[i].extend(toks[i, : lens[i]].tolist())
+        out[name] = got
+    assert out["i16"] == out["f32"]
