@@ -36,10 +36,31 @@ static inline const char *strnstr(const char *h, const char *n, size_t len) {
 
 /* ---- freertos ---- */
 #define portMAX_DELAY 0xffffffffu
+#define portTICK_PERIOD_MS 1
 typedef uint32_t TickType_t;
 typedef void (*TaskFunction_t)(void *);
 int xTaskCreate(TaskFunction_t fn, const char *name, int stack, void *arg,
                 int prio, void *handle);
+void vTaskDelay(TickType_t ticks);
+
+/* ---- freertos queue ---- */
+typedef struct queue_s *QueueHandle_t;
+QueueHandle_t xQueueCreate(int len, size_t item_sz);
+int xQueueSend(QueueHandle_t q, const void *item, TickType_t timeout);
+int xQueueReceive(QueueHandle_t q, void *item, TickType_t timeout);
+
+/* ---- gpio ---- */
+typedef int gpio_num_t;
+#define GPIO_NUM_22 22
+#define GPIO_INTR_DISABLE 0
+#define GPIO_MODE_OUTPUT 1
+typedef struct {
+  int intr_type;
+  int mode;
+  uint64_t pin_bit_mask;
+} gpio_config_t;
+esp_err_t gpio_config(const gpio_config_t *cfg);
+esp_err_t gpio_set_level(gpio_num_t gpio, int level);
 
 /* ---- i2s ---- */
 typedef struct i2s_chan_s *i2s_chan_handle_t;
@@ -60,6 +81,7 @@ typedef struct {
 #define GPIO_NUM_33 33
 #define I2S_DATA_BIT_WIDTH_16BIT 16
 #define I2S_SLOT_MODE_MONO 1
+#define I2S_SLOT_MODE_STEREO 2
 #define I2S_CHANNEL_DEFAULT_CONFIG(num, role) {(num), (role)}
 #define I2S_STD_CLK_DEFAULT_CONFIG(rate) {(rate)}
 #define I2S_STD_MSB_SLOT_DEFAULT_CONFIG(w, m) {(w), (m)}
@@ -73,7 +95,13 @@ esp_err_t i2s_channel_read(i2s_chan_handle_t ch, void *dst, size_t len,
 
 /* ---- event loop / log tags ---- */
 typedef const char *esp_event_base_t;
+typedef void (*esp_event_handler_t)(void *, esp_event_base_t, int32_t, void *);
 esp_err_t esp_event_loop_create_default(void);
+#define ESP_EVENT_ANY_ID (-1)
+#define WIFI_EVENT "WIFI_EVENT"
+enum { WIFI_EVENT_STA_DISCONNECTED = 5 };
+esp_err_t esp_event_handler_register(esp_event_base_t base, int32_t id,
+                                     esp_event_handler_t handler, void *arg);
 
 /* ---- websocket client ---- */
 typedef struct ws_client_s *esp_websocket_client_handle_t;
@@ -83,8 +111,13 @@ typedef struct {
   int data_len;
   int op_code;
 } esp_websocket_event_data_t;
-enum { WEBSOCKET_EVENT_ANY = -1, WEBSOCKET_EVENT_DATA = 3 };
-typedef void (*esp_event_handler_t)(void *, esp_event_base_t, int32_t, void *);
+enum {
+  WEBSOCKET_EVENT_ANY = -1,
+  WEBSOCKET_EVENT_ERROR = 1,
+  WEBSOCKET_EVENT_CONNECTED = 2,
+  WEBSOCKET_EVENT_DATA = 3,
+  WEBSOCKET_EVENT_DISCONNECTED = 4,
+};
 esp_websocket_client_handle_t esp_websocket_client_init(
     const esp_websocket_client_config_t *cfg);
 esp_err_t esp_websocket_register_events(esp_websocket_client_handle_t c,

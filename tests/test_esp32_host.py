@@ -34,3 +34,20 @@ def test_esp32_firmware_host_harness(tmp_path):
         [exe], check=True, capture_output=True, text=True
     )
     assert "all assertions passed" in out.stdout
+    assert "resampler: dc/passband/stopband/streaming ok" in out.stdout
+
+
+def test_esp32_16k_variant_compiles():
+    """The LIBREASR_CAPTURE_16K build (direct 16 kHz mono capture, no
+    resampler pipeline) must stay compilable — it is the MEMS-mic
+    variant users flash when their mic clocks at 16 kHz."""
+    cc = shutil.which("gcc") or shutil.which("cc")
+    if cc is None:
+        pytest.skip("no host C compiler")
+    subprocess.run(
+        [cc, "-std=c11", "-Wall", "-Wextra", "-Wno-unused-parameter",
+         "-Wno-unused-function", "-Werror", "-fsyntax-only",
+         "-DLIBREASR_CAPTURE_16K", "-I", "shim",
+         os.path.join("..", "main", "libreasr_client.c")],
+        cwd=HOSTTEST, check=True, capture_output=True, text=True,
+    )
