@@ -322,6 +322,10 @@ class ASRServicer:
                 reset_thresh_ms=sc.get("reset_thresh", 4000),
                 beam_width=beam_width or sc.get("beam_width", 0),
                 lm_alpha=self.lm_alpha,
+                # int16 PCM upload by default: halves the host->device
+                # bytes per step (the dominant cost on remote-attached
+                # chips), lossless for 16-bit capture chains
+                transfer_dtype=sc.get("transfer_dtype", "int16"),
             )
             engine = StreamingEngine(
                 bundle,
