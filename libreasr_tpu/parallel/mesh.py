@@ -21,15 +21,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: int = -1, model: int = 1, devices=None
+    data: int = -1, model: int = 1, pipe: int = 1, devices=None
 ) -> Mesh:
-    """Build a ("data", "model") mesh. data=-1 infers from device count."""
+    """Build a ("data", "model"[, "pipe"]) mesh. data=-1 infers from the
+    device count. pipe > 1 adds a pipeline-parallel axis (GPipe encoder
+    stages, parallel/pipeline.py); the axis is appended only when used
+    so existing 2-D sharding specs stay valid."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+        assert n % (model * pipe) == 0, (
+            f"{n} devices not divisible by model={model} x pipe={pipe}"
+        )
+        data = n // (model * pipe)
+    assert data * model * pipe <= n, (
+        f"mesh {data}x{model}x{pipe} > {n} devices"
+    )
+    if pipe > 1:
+        arr = np.asarray(devices[: data * model * pipe]).reshape(
+            data, model, pipe
+        )
+        return Mesh(arr, ("data", "model", "pipe"))
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
@@ -37,7 +49,8 @@ def make_mesh(
 def mesh_from_config(conf: dict, devices=None) -> Mesh:
     m = conf.get("mesh", {}) or {}
     return make_mesh(
-        data=m.get("data", -1), model=m.get("model", 1), devices=devices
+        data=m.get("data", -1), model=m.get("model", 1),
+        pipe=m.get("pipe", 1), devices=devices,
     )
 
 

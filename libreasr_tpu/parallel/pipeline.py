@@ -53,12 +53,23 @@ def pipeline_lstm_stack(
     n_micro: int,
     lengths: jax.Array | None = None,
     compute_dtype=None,
+    h0: jax.Array | None = None,
+    dp_axis: str | None = None,
 ):
     """Run an L-layer [H -> H] LSTM stack pipelined over mesh[axis].
 
     stacked: LSTMParams with leading layer axis [L] (stack_layer_params),
       L divisible by the axis size; x: [N, T, H] with N divisible by
       n_micro. Returns y: [N, T, H], replicated over the pipe axis.
+
+    h0: optional learnable initial states [L, n_state=2, 1, H] (the
+      RNNLayer "h0" params stacked over layers) — broadcast to each
+      microbatch, keeping parity with the sequential stack's learnable
+      initial state (reference custom_rnn.py:75-82). None = zeros.
+
+    dp_axis: optional mesh axis name the batch is data-parallel over —
+      x/lengths/output keep their batch dim sharded on it (dp x pp in
+      one shard_map); None replicates (pure-pp demo/test meshes).
     """
     n_stages = mesh.shape[axis]
     n, t, h = x.shape
@@ -76,17 +87,18 @@ def pipeline_lstm_stack(
     if lengths is None:  # full-length gating == ungated scan
         lengths = jnp.full((n,), t, jnp.int32)
     lm = lengths.reshape(n_micro, mb)
+    if h0 is None:
+        h0 = jnp.zeros((n_layers, 2, 1, h), x.dtype)
     fwd = [(i, i + 1) for i in range(n_stages - 1)]
 
-    def stage_fn(params, xm_all, lm_all):
+    def stage_fn(params, h0_stage, xm_all, lm_all):
         p = jax.lax.axis_index(axis)
         is_first = p == 0
         is_last = p == n_stages - 1
-        buf = jnp.zeros((mb, t, h), x.dtype)
-        out = jnp.zeros((n_micro, mb, t, h), x.dtype)
-        zero_state = (
-            jnp.zeros((mb, h), x.dtype), jnp.zeros((mb, h), x.dtype)
-        )
+        # local microbatch rows (mb/dp when the batch is dp-sharded)
+        mb_l, t_l, h_l = xm_all.shape[1:]
+        buf = jnp.zeros((mb_l, t_l, h_l), x.dtype)
+        out = jnp.zeros((n_micro, mb_l, t_l, h_l), x.dtype)
         for k in range(n_micro + n_stages - 1):
             m = k - p                      # this stage's microbatch index
             m_c = jnp.clip(m, 0, n_micro - 1)
@@ -95,8 +107,14 @@ def pipeline_lstm_stack(
             y = jnp.where(is_first, feed, buf)
             l = lm_all[m_c]
             for j in range(per_stage):
+                state0 = tuple(
+                    jnp.broadcast_to(
+                        h0_stage[j, s].astype(x.dtype), (mb_l, h_l)
+                    )
+                    for s in range(2)
+                )
                 y, _ = lstm_scan(
-                    y, zero_state, _layer(params, j),
+                    y, state0, _layer(params, j),
                     lengths=l, compute_dtype=compute_dtype,
                 )
             keep = jnp.where(
@@ -105,8 +123,12 @@ def pipeline_lstm_stack(
             out = out.at[m_c].add(keep * y)
             buf = jax.lax.ppermute(y, axis, fwd)
         # only the last stage accumulated output; psum replicates it
+        # over the pipe axis (dp rows stay local to their dp shard)
         return jax.lax.psum(out, axis)
 
+    batch_spec = P(None, dp_axis) if dp_axis else P()
+    in_specs = (P(axis), P(axis), batch_spec, batch_spec)
+    out_specs = batch_spec
     # the masked per-stage .at[].add defeats the replication checker
     # (check_vma / legacy check_rep), so it is disabled either way
     try:
@@ -114,7 +136,7 @@ def pipeline_lstm_stack(
 
         run = shard_map(
             stage_fn, mesh=mesh,
-            in_specs=(P(axis), P(), P()), out_specs=P(),
+            in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
     except (ImportError, TypeError):  # older jax
@@ -122,8 +144,8 @@ def pipeline_lstm_stack(
 
         run = _sm(
             stage_fn, mesh=mesh,
-            in_specs=(P(axis), P(), P()), out_specs=P(),
+            in_specs=in_specs, out_specs=out_specs,
             check_rep=False,
         )
-    out = run(stacked, xm, lm)
+    out = run(stacked, h0, xm, lm)
     return out.reshape(n, t, h)

@@ -81,6 +81,114 @@ class LossConfig:
 _learnable_states = learnable_states
 
 
+@dataclass(frozen=True)
+class PPConfig:
+    """Pipeline-parallel training config (train.py --pp N).
+
+    The encoder's uniform [H -> H] LSTM layers run GPipe-pipelined over
+    the mesh's "pipe" axis (parallel/pipeline.py); the non-uniform head
+    (input norm + the first feature_sz -> H layer, plus any layers left
+    over when (L-1) isn't divisible by the stage count) runs
+    data-parallel before the pipeline. Requires the fused-loss path and
+    an encoder the pipeline kernel can express exactly: LSTM cells,
+    inter-layer norm "none", no zoneout, no time reduction, no
+    cross-batch encoder state carry."""
+
+    mesh: Any
+    n_micro: int = 4
+    axis: str = "pipe"
+
+
+def _validate_pp(cfg: TransducerConfig, loss_cfg: LossConfig, pp: PPConfig):
+    problems = []
+    if not loss_cfg.fused:
+        problems.append("loss.fused must be true")
+    if cfg.enc_rnn_type != "LSTM":
+        problems.append(f"encoder rnn_type must be LSTM (got {cfg.enc_rnn_type})")
+    if cfg.enc_norm != "none":
+        problems.append(
+            f"encoder norm must be 'none' (got {cfg.enc_norm!r}: inter-layer "
+            "norms would need pipeline stages of their own)"
+        )
+    if cfg.enc_layer_norm:
+        problems.append("LayerNorm-LSTM cells are not pipelined")
+    if cfg.zoneout:
+        problems.append("zoneout is not pipelined")
+    if cfg.enc_reduction_indices:
+        problems.append("inter-layer time reduction is not pipelined")
+    if cfg.use_tmp_state_pcent > 0:
+        problems.append(
+            "encoder cross-batch state carry (use_tmp_state_pcent) can't "
+            "thread through pipeline stages — set it to 0"
+        )
+    stages = pp.mesh.shape[pp.axis]
+    if cfg.enc_num_layers - 1 < stages:
+        problems.append(
+            f"{cfg.enc_num_layers} encoder layers can't fill {stages} stages "
+            "(layer 0 is the non-uniform input layer)"
+        )
+    if problems:
+        raise ValueError("pipeline parallelism config: " + "; ".join(problems))
+
+
+def _encode_pp(
+    params, feats, flens, *, cfg: TransducerConfig, pp: PPConfig,
+    train: bool, rng_drop,
+):
+    """The pp-mode encoder: exactly Encoder.__call__'s math
+    (models/modules.py:330-355) under the constraints _validate_pp
+    enforces, with the uniform [H -> H] tail of the LSTM stack run
+    through pipeline_lstm_stack. Parity with the sequential encoder is
+    pinned by tests/test_pp_train.py."""
+    from ..ops.rnn import LSTMParams, lstm_scan
+    from ..parallel.pipeline import pipeline_lstm_stack, stack_layer_params
+
+    p = params["encoder"]
+    n, t = feats.shape[0], feats.shape[1]
+    x = feats.reshape(n, t, -1)
+    ln = p["input_norm"]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mu) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+
+    def cell(i) -> LSTMParams:
+        c = p["rnn_stack"][f"layer{i}"]["cell"]
+        if isinstance(c, dict):  # restored checkpoints may lose the NamedTuple
+            return LSTMParams(**c)
+        return c
+
+    def h0(i):
+        return p["rnn_stack"][f"layer{i}"]["h0"]
+
+    stages = pp.mesh.shape[pp.axis]
+    n_layers = cfg.enc_num_layers
+    n_pipe = ((n_layers - 1) // stages) * stages
+    n_seq = n_layers - n_pipe
+    for i in range(n_seq):
+        state0 = tuple(
+            jnp.broadcast_to(h0(i)[s], (n, cfg.hidden_sz)) for s in range(2)
+        )
+        x, _ = lstm_scan(
+            x, state0, cell(i), lengths=flens,
+            compute_dtype=cfg.compute_dtype,
+        )
+    stacked = stack_layer_params([cell(i) for i in range(n_seq, n_layers)])
+    h0s = jnp.stack([h0(i) for i in range(n_seq, n_layers)])
+    dp_axis = "data" if "data" in pp.mesh.shape else None
+    x = pipeline_lstm_stack(
+        stacked, x, mesh=pp.mesh, axis=pp.axis, n_micro=pp.n_micro,
+        lengths=flens, compute_dtype=cfg.compute_dtype, h0=h0s,
+        dp_axis=dp_axis,
+    )
+    if train and cfg.enc_dropout > 0:
+        keep = 1.0 - cfg.enc_dropout
+        mask = jax.random.bernoulli(rng_drop, keep, x.shape)
+        x = jnp.where(mask, x / keep, jnp.zeros_like(x))
+    if "proj" in p:
+        x = x @ p["proj"]["kernel"] + p["proj"]["bias"]
+    return x
+
+
 def init_carry(cfg: TransducerConfig, batch: int) -> BatchCarry:
     def zeros_tower(n_layers, n_state):
         return tuple(
@@ -105,6 +213,7 @@ def make_train_step(
     loss_cfg: LossConfig = LossConfig(),
     hutchinson: bool = False,
     pass_loss_value: bool = False,
+    pp: PPConfig | None = None,
 ):
     """Build the jitted train step.
 
@@ -126,6 +235,8 @@ def make_train_step(
         raise ValueError("fused loss requires joint_method='concat'")
     if loss_cfg.fused and hutchinson:
         raise ValueError("fused loss is first-order only (no hutchinson)")
+    if pp is not None:
+        _validate_pp(cfg, loss_cfg, pp)
 
     def step(state: TrainState, carry: BatchCarry, batch: Batch, rng):
         rng_aug, rng_drop, rng_state, rng_bos = jax.random.split(rng, 4)
@@ -148,14 +259,26 @@ def make_train_step(
                 lambda c, l: jnp.where(use_state, c, l), cache, learned
             )
 
-        enc_learned = _learnable_states(
-            state.params, "encoder", n, cfg.enc_num_layers
-        )
-        pred_learned = _learnable_states(
-            state.params, "predictor", n, cfg.pred_num_layers
-        )
-        enc_state0 = pick(carry.enc_state, enc_learned)
-        pred_state0 = pick(carry.pred_state, pred_learned)
+        def initial_states(params):
+            """Select each tower's initial state INSIDE the
+            differentiated function: the learnable h0 params must
+            receive gradients through the steps that start from them
+            (the reference trains its initial-state Parameters through
+            the ordinary forward, custom_rnn.py:75-82,112-117 — deriving
+            them from state.params outside loss_fn silently detached
+            them). The carry branch stays a constant: cached final
+            states are detached cross-batch context, reference
+            custom_rnn.py:224-231."""
+            enc_learned = _learnable_states(
+                params, "encoder", n, cfg.enc_num_layers
+            )
+            pred_learned = _learnable_states(
+                params, "predictor", n, cfg.pred_num_layers
+            )
+            return (
+                pick(carry.enc_state, enc_learned),
+                pick(carry.pred_state, pred_learned),
+            )
 
         use_bos = (
             cfg.use_tmp_bos
@@ -170,6 +293,7 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
+            enc_state0, pred_state0 = initial_states(params)
             if loss_cfg.fused:
                 # fused joint+loss: encoder/predictor run separately and
                 # the lattice is never materialized (ops/fused_loss.py)
@@ -177,11 +301,20 @@ def make_train_step(
                     joint_params_from_flax, rnnt_loss_fused,
                 )
 
-                (enc_out, enc_st), upd1 = model.apply(
-                    variables, feats, state=enc_state0, lengths=flens,
-                    train=True, rngs={"dropout": rng_drop},
-                    mutable=["batch_stats"], method=Transducer.encode,
-                )
+                if pp is not None:
+                    # GPipe-pipelined encoder (no batch stats, no state
+                    # carry — _validate_pp enforced norm="none"/utsp=0)
+                    enc_out = _encode_pp(
+                        params, feats, flens, cfg=cfg, pp=pp,
+                        train=True, rng_drop=rng_drop,
+                    )
+                    enc_st, upd1 = enc_state0, {}
+                else:
+                    (enc_out, enc_st), upd1 = model.apply(
+                        variables, feats, state=enc_state0, lengths=flens,
+                        train=True, rngs={"dropout": rng_drop},
+                        mutable=["batch_stats"], method=Transducer.encode,
+                    )
                 yconcat = jnp.concatenate([bos_tokens, y], axis=1)
                 (pred_out, pred_st), upd2 = model.apply(
                     variables, yconcat, state=pred_state0, lengths=yl,
@@ -344,6 +477,7 @@ class Learner:
         seed: int = 0,
         hutchinson: bool = False,
         pass_loss_value: bool = False,
+        pp_micro: int = 4,
     ):
         self.model = model
         self.tx = tx
@@ -351,9 +485,16 @@ class Learner:
         self.frontend = frontend
         self.mesh = mesh
         self.carries: dict[int, BatchCarry] = {}
+        # a mesh with a "pipe" axis > 1 engages pipeline-parallel
+        # training (train.py --pp N); batch rows stay dp-sharded
+        pp = None
+        if mesh is not None and mesh.shape.get("pipe", 1) > 1:
+            pp = PPConfig(mesh=mesh, n_micro=pp_micro)
+        self.pp = pp
         self._raw_step = make_train_step(
             model, tx, frontend, loss_cfg,
             hutchinson=hutchinson, pass_loss_value=pass_loss_value,
+            pp=pp,
         )
         self._step_fn = jax.jit(self._raw_step, donate_argnums=(0,))
         self._chain_fn = jax.jit(self._chained, donate_argnums=(0, 1))

@@ -25,6 +25,13 @@ def main(argv=None):
     p.add_argument("--bundle-out", default="")
     p.add_argument("--logdir", default="runs/libreasr")
     p.add_argument("--mesh-model", type=int, default=0, help="override TP axis size")
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline-parallel stages for the encoder stack "
+                        "(mesh gains a 'pipe' axis; requires loss.fused, "
+                        "encoder norm 'none' and use_tmp_state_pcent 0 — "
+                        "see training/learner.py::PPConfig)")
+    p.add_argument("--pp-micro", type=int, default=4,
+                   help="GPipe microbatches per --pp step")
     p.add_argument("--eval-batches", type=int, default=16)
     p.add_argument("--eval-every", type=int, default=0,
                    help="eval every N steps (0 = tests_per_epoch auto)")
@@ -83,6 +90,13 @@ def main(argv=None):
     conf = parse_and_apply_config(lang=args.lang, path=args.config)
     if args.mesh_model:
         conf.setdefault("mesh", {})["model"] = args.mesh_model
+    if args.pp > 1:
+        conf.setdefault("mesh", {})["pipe"] = args.pp
+        # the pipeline kernel's exactness constraints (PPConfig): the
+        # encoder carry and inter-layer norm settings must be pp-legal
+        conf["model"]["encoder"]["norm"] = "none"
+        conf["model"]["encoder"]["use_tmp_state_pcent"] = 0.0
+        conf.setdefault("loss", {})["fused"] = True
     seed = conf.get("seed", 42)
 
     # tokenizer / language
@@ -145,7 +159,11 @@ def main(argv=None):
         mesh=mesh, seed=seed,
         hutchinson=tconf.get("optimizer", "").lower() == "adahessian",
         pass_loss_value=plateau,
+        pp_micro=args.pp_micro,
     )
+    if learner.pp is not None:
+        print(f"[train] pipeline parallelism: {args.pp} stages x "
+              f"{args.pp_micro} microbatches")
 
     # crash-resume (reference Makefile:1-4 + ipynb cell 21 try/except)
     start_step = 0
