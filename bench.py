@@ -373,7 +373,17 @@ def main():
     # the calibrated random-weight proxy whenever present: real weights,
     # real emissions on matching (tone-speech) audio
     env_path = os.environ.get("LIBREASR_BENCH_BUNDLE")
-    trained_path = env_path or "tmp/flagship_tone/model.tar.gz"
+    trained_path = env_path
+    if not trained_path:
+        for cand in (
+            "tmp/flagship_tone/model.tar.gz",   # fresh local training run
+            "assets/flagship_tone_int8.tar.gz",  # committed int8 artifact
+        ):
+            if os.path.exists(cand):
+                trained_path = cand
+                break
+        else:
+            trained_path = "tmp/flagship_tone/model.tar.gz"
     trained = os.path.exists(trained_path)
     if env_path and not trained:
         # an explicitly requested bundle must not silently degrade to

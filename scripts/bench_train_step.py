@@ -116,10 +116,18 @@ def main():
         deltas.append(((t2 - t1) - (t1 - t0)) / (args.k - 1))
     ms = float(np.median(deltas)) * 1e3
     audio_s = args.bs * args.secs
+    # MFU: analytic matmul FLOPs (libreasr_tpu/flops.py — encoder/
+    # predictor gates, decomposed joint, loss DP, fwd + 2x bwd) over
+    # the device's bf16 peak
+    from libreasr_tpu import flops as F
+
+    t_frames = n_samp // (frontend.hop * frontend.downsample)
+    fl = F.train_step_flops(cfg, args.bs, t_frames, args.u)
+    m = F.mfu(fl, ms / 1e3)
     print(
         f"train step (bs={args.bs} x {args.secs:.0f}s, "
         f"fused={not args.no_fused}): {ms:.1f} ms/step "
-        f"({audio_s / (ms / 1e3):.0f}x realtime)"
+        f"({audio_s / (ms / 1e3):.0f}x realtime, {m})"
     )
 
 

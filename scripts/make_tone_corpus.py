@@ -1,6 +1,6 @@
 """Synthesize a "tone speech" corpus in LibriSpeech layout.
 
-Each character is rendered as a fixed-frequency noisy tone (space =
+Each character is rendered as a frequency-coded harmonic tone (space =
 silence), so the acoustic-to-text mapping is learnable end-to-end
 without real speech — the environment has no speech corpus (VERDICT r2
 missing #2), and this is the closest reproducible stand-in: it
@@ -8,12 +8,22 @@ exercises the full recipe (create_dataset -> tokenizer -> buckets ->
 train -> eval) at any model scale, and a model trained on it is a real
 trained checkpoint for decode benchmarking (bench.py --bundle).
 
-Train/valid/test sentences are disjoint, so dev WER measures
-generalization, not memorization.
+Speech-realism axes (VERDICT r3 #5 — make the synthetic task hard the
+way speech is hard):
+- multi-speaker: each speaker has its own fundamental-frequency scale
+  (vocal-tract-length analog; adjacent characters' bands overlap
+  slightly at the top of the range, so decoding must normalize across
+  speakers), its own harmonic stack (formant analog) and its own
+  speaking rate;
+- per-utterance tempo jitter on top of the speaker rate;
+- additive noise at a random per-utterance SNR (12-30 dB);
+- dev/test use HELD-OUT speakers and disjoint sentences, so WER
+  measures generalization across both content and "voice".
 
 Usage:
   python scripts/make_tone_corpus.py --out tmp/tone_corpus \
-      [--train 400] [--valid 40] [--test 40] [--seed 0]
+      [--train 400] [--valid 40] [--test 40] [--speakers 8] \
+      [--heldout-speakers 2] [--seed 0] [--clean]
 """
 
 from __future__ import annotations
@@ -47,8 +57,33 @@ def char_freq(c: str) -> float:
     return 300.0 + 85.0 * (ord(c) - ord("a"))
 
 
-def render(text: str, rng: np.random.Generator) -> np.ndarray:
-    n_char = int(SR * CHAR_MS / 1000)
+def speaker_params(spk: int) -> dict:
+    """Deterministic per-speaker "voice": f0 scale (vocal tract length
+    analog, ±3% — adjacent letters are ~3.6% apart at the top of the
+    range, so speakers overlap there and decoding must normalize),
+    harmonic amplitudes (formant analog) and speaking rate."""
+    r = np.random.default_rng(1000 + spk)
+    return {
+        "f0_scale": float(1.0 + r.uniform(-0.03, 0.03)),
+        "h2": float(r.uniform(0.1, 0.5)),   # 2nd harmonic amplitude
+        "h3": float(r.uniform(0.0, 0.3)),   # 3rd harmonic amplitude
+        "rate": float(r.uniform(0.9, 1.1)),  # speaking rate
+    }
+
+
+def render(
+    text: str,
+    rng: np.random.Generator,
+    spk: dict | None = None,
+    snr_db: float | None = None,
+) -> np.ndarray:
+    """Render text as tone speech. spk=None keeps the single-voice
+    clean synthesis (bench workloads use this); with a speaker dict the
+    voice/rate/noise axes apply."""
+    if spk is None:
+        spk = {"f0_scale": 1.0, "h2": 0.0, "h3": 0.0, "rate": 1.0}
+    tempo = spk["rate"] * (1.0 + rng.uniform(-0.05, 0.05))
+    n_char = max(int(SR * CHAR_MS / 1000 / tempo), 4 * int(SR * RAMP_MS / 1000))
     ramp = int(SR * RAMP_MS / 1000)
     env = np.ones(n_char, np.float32)
     env[:ramp] = np.linspace(0, 1, ramp)
@@ -60,10 +95,21 @@ def render(text: str, rng: np.random.Generator) -> np.ndarray:
             segs.append(np.zeros(n_char, np.float32))
         else:
             amp = 0.25 + 0.1 * rng.random()
-            segs.append((amp * np.sin(2 * np.pi * char_freq(c) * t) * env)
-                        .astype(np.float32))
+            f0 = char_freq(c) * spk["f0_scale"]
+            tone = np.sin(2 * np.pi * f0 * t)
+            if spk["h2"]:
+                tone = tone + spk["h2"] * np.sin(2 * np.pi * 2 * f0 * t)
+            if spk["h3"]:
+                tone = tone + spk["h3"] * np.sin(2 * np.pi * 3 * f0 * t)
+            tone = tone / (1.0 + spk["h2"] + spk["h3"])
+            segs.append((amp * tone * env).astype(np.float32))
     pcm = np.concatenate(segs) if segs else np.zeros(n_char, np.float32)
-    pcm = pcm + (rng.standard_normal(len(pcm)) * 0.02).astype(np.float32)
+    if snr_db is None:
+        noise_amp = 0.02
+    else:
+        sig_rms = float(np.sqrt(np.mean(pcm**2)) + 1e-9)
+        noise_amp = sig_rms / (10.0 ** (snr_db / 20.0))
+    pcm = pcm + (rng.standard_normal(len(pcm)) * noise_amp).astype(np.float32)
     return np.clip(pcm, -1.0, 1.0)
 
 
@@ -80,19 +126,34 @@ def sentences(rng: np.random.Generator, n: int, max_chars: int = 58):
     return out
 
 
-def write_split(root: str, split: str, texts, rng):
-    spk = os.path.join(root, split, "1", "1")
-    os.makedirs(spk, exist_ok=True)
-    with open(os.path.join(spk, "1-1.trans.txt"), "w") as tf:
+def write_split(root: str, split: str, texts, rng, speakers, clean=False):
+    """speakers: list of speaker ids; utterances round-robin over them
+    (LibriSpeech layout: split/{spk}/1/{spk}-1.trans.txt)."""
+    handles = {}
+    try:
         for i, text in enumerate(texts):
-            utt = f"1-1-{split}-{i:05d}"
-            pcm = render(text, rng)
-            with wave.open(os.path.join(spk, f"{utt}.wav"), "wb") as w:
+            spk_id = speakers[i % len(speakers)]
+            spk_dir = os.path.join(root, split, str(spk_id), "1")
+            os.makedirs(spk_dir, exist_ok=True)
+            if spk_id not in handles:
+                handles[spk_id] = open(
+                    os.path.join(spk_dir, f"{spk_id}-1.trans.txt"), "w"
+                )
+            utt = f"{spk_id}-1-{split}-{i:05d}"
+            pcm = render(
+                text, rng,
+                spk=None if clean else speaker_params(spk_id),
+                snr_db=None if clean else float(rng.uniform(12.0, 30.0)),
+            )
+            with wave.open(os.path.join(spk_dir, f"{utt}.wav"), "wb") as w:
                 w.setnchannels(1)
                 w.setsampwidth(2)
                 w.setframerate(SR)
                 w.writeframes((pcm * 32767).astype(np.int16).tobytes())
-            tf.write(f"{utt} {text.upper()}\n")
+            handles[spk_id].write(f"{utt} {text.upper()}\n")
+    finally:
+        for f in handles.values():
+            f.close()
 
 
 def main(argv=None):
@@ -101,16 +162,34 @@ def main(argv=None):
     p.add_argument("--train", type=int, default=400)
     p.add_argument("--valid", type=int, default=40)
     p.add_argument("--test", type=int, default=40)
+    p.add_argument("--speakers", type=int, default=8,
+                   help="training-set speakers")
+    p.add_argument("--heldout-speakers", type=int, default=2,
+                   help="dev/test-only speakers (voice generalization)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clean", action="store_true",
+                   help="legacy single-voice noiseless synthesis")
     a = p.parse_args(argv)
     rng = np.random.default_rng(a.seed)
     all_sents = sentences(rng, a.train + a.valid + a.test)
-    write_split(a.out, "train-clean-100", all_sents[: a.train], rng)
+    train_spk = list(range(1, a.speakers + 1))
+    held_spk = list(range(a.speakers + 1, a.speakers + 1 + a.heldout_speakers))
+    if a.clean or not held_spk:
+        held_spk = train_spk
+    write_split(a.out, "train-clean-100", all_sents[: a.train], rng,
+                train_spk, clean=a.clean)
     write_split(a.out, "dev-clean",
-                all_sents[a.train : a.train + a.valid], rng)
-    write_split(a.out, "test-clean", all_sents[a.train + a.valid :], rng)
-    print(f"tone corpus -> {a.out}: {a.train} train / {a.valid} valid / "
-          f"{a.test} test (disjoint sentences)")
+                all_sents[a.train : a.train + a.valid], rng,
+                held_spk, clean=a.clean)
+    write_split(a.out, "test-clean", all_sents[a.train + a.valid :], rng,
+                held_spk, clean=a.clean)
+    print(
+        f"tone corpus -> {a.out}: {a.train} train / {a.valid} valid / "
+        f"{a.test} test (disjoint sentences; "
+        + ("single clean voice)" if a.clean else
+           f"{len(train_spk)} train speakers, dev/test on "
+           f"{len(held_spk)} held-out speakers, 12-30 dB SNR)")
+    )
 
 
 if __name__ == "__main__":
