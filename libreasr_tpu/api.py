@@ -94,12 +94,20 @@ class ASRBundle:
         variables, tok, lm_bytes, _ = load_bundle(
             path, lang_name, template, extract_to=extract_to
         )
+        # flax msgpack deserializes to NUMPY leaves; left that way, every
+        # jitted call that takes `variables` as an argument re-uploads the
+        # whole parameter set host->device (for the 70 M flagship through
+        # a remote tunnel: ~10 s PER ENGINE STEP). Commit them to the
+        # device once at load.
+        variables = jax.device_put(variables)
         lang, _ = get_language(model_file=tok)
         lm = lm_vars = None
         if lm_bytes:
             lm_cfg = LMConfig.from_config(conf)
             lm, lm_template = init_lm(lm_cfg, jax.random.PRNGKey(1))
-            lm_vars = serialization.from_bytes(lm_template, lm_bytes)
+            lm_vars = jax.device_put(
+                serialization.from_bytes(lm_template, lm_bytes)
+            )
         return cls(conf, model, variables, lang, lm, lm_vars)
 
     # ---- decoder endpoint bindings ----------------------------------------

@@ -439,6 +439,15 @@ class StreamingEngine:
 
     def _ensure_state(self):
         if self.state is None:
+            # numpy parameter leaves (e.g. a freshly deserialized bundle
+            # that bypassed ASRBundle.from_bundle) would re-upload the
+            # whole model on EVERY step — variables are a jit argument.
+            # Commit them once.
+            if self.mesh is None and any(
+                isinstance(leaf, np.ndarray)
+                for leaf in jax.tree_util.tree_leaves(self.bundle.variables)
+            ):
+                self.bundle.variables = jax.device_put(self.bundle.variables)
             if self._init is None:
                 self._init = jax.jit(self._build_init())
             # two separate calls so the kept fresh template cannot share

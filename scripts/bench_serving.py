@@ -61,7 +61,8 @@ def run_server(port: int, n_streams: int, n_buffer: int, beam: int,
         bundle = build_bundle()
         set_blank_bias(bundle, blank_bias)
     scfg = StreamingConfig(
-        sr=bundle.frontend.sr, n_buffer=n_buffer, beam_width=beam
+        sr=bundle.frontend.sr, n_buffer=n_buffer, beam_width=beam,
+        transfer_dtype="int16",  # the server default (serving/server.py)
     )
     engine = StreamingEngine(bundle, n_streams=n_streams, scfg=scfg)
     # compile + first-step warmup before clients arrive, so the bench
