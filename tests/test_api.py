@@ -46,3 +46,23 @@ def test_transcribe_batch_padding_invariance(bundle, rng):
     texts, _ = bundle.transcribe_batch(batch, np.array([16000, 8000]))
     text_b, _ = bundle.transcribe(b)
     assert texts[1] == text_b
+
+
+def test_from_bundle_commits_params_to_device():
+    """Deserialized bundles must NOT keep numpy parameter leaves: as
+    jit arguments they re-upload the whole model on every call (~10 s
+    per engine step for the 70M flagship through a remote tunnel —
+    the round-4 trained-bench stall)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from libreasr_tpu.api import ASRBundle
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+    bundle = ASRBundle.from_bundle(
+        os.path.join(fx, "model_bpe.tar.gz"), extract_to="./tmp/api_devput"
+    )
+    for leaf in jax.tree_util.tree_leaves(bundle.variables):
+        assert not isinstance(leaf, np.ndarray), "numpy leaf survived load"
