@@ -447,19 +447,36 @@ def main():
             )
     if not trained:
         bundle = build_bundle()
-        # pin the decode workload to a trained model's emission rate
-        try:
-            target = golden_emission_rate()
-        except Exception as e:  # noqa: BLE001 - fixtures absent in some envs
-            print(f"# golden rate unavailable ({e}); target=0.6",
-                  file=sys.stderr)
-            target = 0.6
-        bias, rate = calibrate_blank_bias(bundle, target)
-        print(
-            f"# trained-bundle emission rate {target:.2f} tok/chunk; "
-            f"flagship proxy calibrated to {rate:.2f} at blank_bias {bias:.2f}",
-            file=sys.stderr,
-        )
+        if os.environ.get("LIBREASR_BENCH_RECALIBRATE") == "1":
+            # pin the decode workload to a trained model's emission rate
+            try:
+                target = golden_emission_rate()
+            except Exception as e:  # noqa: BLE001 - fixtures absent
+                print(f"# golden rate unavailable ({e}); target=0.6",
+                      file=sys.stderr)
+                target = 0.6
+            bias, rate = calibrate_blank_bias(bundle, target)
+            print(
+                f"# trained-bundle emission rate {target:.2f} tok/chunk; "
+                f"flagship proxy calibrated to {rate:.2f} at "
+                f"blank_bias {bias:.2f}",
+                file=sys.stderr,
+            )
+        else:
+            # PINNED workload (r3 weak #5: per-run bisection against a
+            # near-step-function response made the proxy load drift
+            # across rounds). 0.22 is the value every past calibration
+            # landed on (r2/r3/r4 identically), executing 1.25 tok/chunk
+            # on noise — at-or-above the golden bundle's EOS-latched
+            # 0.46, i.e. conservatively heavy. Recalibrate explicitly
+            # with LIBREASR_BENCH_RECALIBRATE=1 (e.g. after retraining
+            # the golden fixture).
+            set_blank_bias(bundle, 0.22)
+            print(
+                "# flagship proxy at PINNED blank_bias 0.22 "
+                "(1.25 tok/chunk; LIBREASR_BENCH_RECALIBRATE=1 to re-bisect)",
+                file=sys.stderr,
+            )
 
     probe = probe_tunnel()
     print(
