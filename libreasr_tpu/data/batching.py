@@ -123,21 +123,33 @@ class BucketBatcher:
         seed: int = 42,
         window: int = 1024,
         drop_last: bool = False,
+        transfer_dtype: str = "float32",
     ):
         self.buckets = buckets
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.window = window
         self.drop_last = drop_last
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(f"transfer_dtype must be float32|int16, "
+                             f"got {transfer_dtype!r}")
+        self.transfer_dtype = transfer_dtype
 
     def _emit(self, bucket: Bucket, items: list[dict]) -> Batch:
         n = len(items)
-        audio = np.zeros((n, bucket.max_samples), np.float32)
+        int16 = self.transfer_dtype == "int16"
+        audio = np.zeros((n, bucket.max_samples),
+                         np.int16 if int16 else np.float32)
         audio_len = np.zeros(n, np.int32)
         labels = np.zeros((n, bucket.max_tokens), np.int32)
         label_len = np.zeros(n, np.int32)
         for i, it in enumerate(items):
             a = np.asarray(it["audio"], np.float32)[: bucket.max_samples]
+            if int16:
+                # exact inverse of the device decode (x * 1/32768):
+                # int16-sourced audio round-trips bit-for-bit, so the
+                # half-width upload is lossless for 16-bit capture
+                a = np.clip(np.round(a * 32768.0), -32768, 32767)
             audio[i, : len(a)] = a
             audio_len[i] = len(a)
             ids = list(it["ids"])[: bucket.max_tokens]
@@ -235,6 +247,12 @@ class ASRDataset:
 
     @classmethod
     def from_config(cls, conf: dict, lang, mode: str = "train"):
+        if (conf.get("synth_tone") or {}).get("enabled"):
+            # streamed synthetic corpus (data/synth.py): generated on
+            # the fly, no disk tree — same iterable contract
+            from .synth import ToneStreamDataset
+
+            return ToneStreamDataset.from_config(conf, lang, mode)
         from .builder import ASRDatasetBuilder
         from .transforms import Pipeline, parse_stages
 
@@ -249,6 +267,11 @@ class ASRDataset:
             shuffle=conf.get("shuffle", True) and mode == "train",
             seed=conf.get("seed", 42),
             drop_last=conf.get("drop_last", False),
+            # int16 host->device transfer by default (the serving
+            # engine's codec, applied to training): the frontend decodes
+            # on device, halving the per-step upload — the wall-clock
+            # bottleneck on a tunneled chip (docs/performance.md)
+            transfer_dtype=conf.get("transfer_dtype", "int16"),
         )
         return cls(
             builder, pipeline, batcher,

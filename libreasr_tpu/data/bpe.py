@@ -126,6 +126,10 @@ class _PyBPE:
             self.rank = {}
             for r in range(n_merges):
                 self.rank[f.readline().rstrip("\n")] = r
+        # yttm-converted models (compat/yttm_import.py) keep the word
+        # marker as its own symbol; native LABPE1 fuses it with the
+        # first char. Mirror of the detection in native/bpe.cpp.
+        self.meta_standalone = META in self.t2i
 
     def vocab_size(self):
         return len(self.vocab)
@@ -136,7 +140,10 @@ class _PyBPE:
         rng = _random.Random(seed or 12345)
         ids = []
         for w in text.lower().split():
-            syms = [META + w[0]] + list(w[1:])
+            if self.meta_standalone:
+                syms = [META] + list(w)
+            else:
+                syms = [META + w[0]] + list(w[1:])
             while len(syms) > 1:
                 best, bi = None, -1
                 for i in range(len(syms) - 1):

@@ -41,6 +41,11 @@ struct Model {
   std::unordered_map<std::string, int> token_to_id;
   // merge rank: (left_id_initial_space) — ranks keyed by token strings
   std::unordered_map<std::string, int> merge_rank;      // "left right" -> rank
+  // yttm convention (models converted from youtokentome,
+  // compat/yttm_import.py): the word marker is its OWN symbol and merges
+  // attach it; native LABPE1 fuses it with the first char at
+  // segmentation time. Detected at load by a bare META vocab entry.
+  bool meta_standalone = false;
 
   int id_of(const std::string& t) const {
     auto it = token_to_id.find(t);
@@ -74,7 +79,10 @@ void encode_word(const Model& m, const std::string& word,
                  std::vector<int>& out, double dropout, unsigned* rng) {
   std::vector<std::string> syms = utf8_chars(word);
   if (syms.empty()) return;
-  syms[0] = META + syms[0];
+  if (m.meta_standalone)
+    syms.insert(syms.begin(), META);
+  else
+    syms[0] = META + syms[0];
   while (syms.size() > 1) {
     int best_rank = INT32_MAX, best_i = -1;
     for (size_t i = 0; i + 1 < syms.size(); i++) {
@@ -244,6 +252,7 @@ void* bpe_load(const char* model_path) {
     std::getline(in, line);
     m->merge_rank[line] = (int)r;
   }
+  m->meta_standalone = m->token_to_id.count(META) > 0;
   return m;
 }
 

@@ -355,9 +355,14 @@ def features_batch(
 ):
     """Full device frontend on a padded batch.
 
-    audio: [N, S] float pcm, sample_lengths: [N].
+    audio: [N, S] float pcm — or int16 wire-quantized pcm, decoded here
+    on device so batches can travel host->device at half the bytes (the
+    training analog of the serving engine's transfer codec; lossless
+    for 16-bit capture chains). sample_lengths: [N].
     Returns (features [N, T', feature_sz], frame_lengths [N]).
     """
+    if jnp.issubdtype(audio.dtype, jnp.integer):
+        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
     mel = log_mel_spectrogram(
         audio,
         sr=cfg.sr,

@@ -37,93 +37,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SR = 16000
-CHAR_MS = 70
-RAMP_MS = 5
-
-WORDS = (
-    "the a and to of in it is was for on that he she they we you i "
-    "his her with as at by this had not but be have from or one all "
-    "were when there can an which their said if do will each about "
-    "how up out them then she many some so these would other into "
-    "has more two like him see time could no make than first been "
-    "its who now people my made over did down only way find use may "
-    "water long little very after words called just where most know"
-).split()
-
-
-def char_freq(c: str) -> float:
-    """Distinct frequency per letter; well inside the mel range."""
-    return 300.0 + 85.0 * (ord(c) - ord("a"))
-
-
-def speaker_params(spk: int) -> dict:
-    """Deterministic per-speaker "voice": f0 scale (vocal tract length
-    analog, ±3% — adjacent letters are ~3.6% apart at the top of the
-    range, so speakers overlap there and decoding must normalize),
-    harmonic amplitudes (formant analog) and speaking rate."""
-    r = np.random.default_rng(1000 + spk)
-    return {
-        "f0_scale": float(1.0 + r.uniform(-0.03, 0.03)),
-        "h2": float(r.uniform(0.1, 0.5)),   # 2nd harmonic amplitude
-        "h3": float(r.uniform(0.0, 0.3)),   # 3rd harmonic amplitude
-        "rate": float(r.uniform(0.9, 1.1)),  # speaking rate
-    }
-
-
-def render(
-    text: str,
-    rng: np.random.Generator,
-    spk: dict | None = None,
-    snr_db: float | None = None,
-) -> np.ndarray:
-    """Render text as tone speech. spk=None keeps the single-voice
-    clean synthesis (bench workloads use this); with a speaker dict the
-    voice/rate/noise axes apply."""
-    if spk is None:
-        spk = {"f0_scale": 1.0, "h2": 0.0, "h3": 0.0, "rate": 1.0}
-    tempo = spk["rate"] * (1.0 + rng.uniform(-0.05, 0.05))
-    n_char = max(int(SR * CHAR_MS / 1000 / tempo), 4 * int(SR * RAMP_MS / 1000))
-    ramp = int(SR * RAMP_MS / 1000)
-    env = np.ones(n_char, np.float32)
-    env[:ramp] = np.linspace(0, 1, ramp)
-    env[-ramp:] = np.linspace(1, 0, ramp)
-    t = np.arange(n_char) / SR
-    segs = []
-    for c in text:
-        if c == " ":
-            segs.append(np.zeros(n_char, np.float32))
-        else:
-            amp = 0.25 + 0.1 * rng.random()
-            f0 = char_freq(c) * spk["f0_scale"]
-            tone = np.sin(2 * np.pi * f0 * t)
-            if spk["h2"]:
-                tone = tone + spk["h2"] * np.sin(2 * np.pi * 2 * f0 * t)
-            if spk["h3"]:
-                tone = tone + spk["h3"] * np.sin(2 * np.pi * 3 * f0 * t)
-            tone = tone / (1.0 + spk["h2"] + spk["h3"])
-            segs.append((amp * tone * env).astype(np.float32))
-    pcm = np.concatenate(segs) if segs else np.zeros(n_char, np.float32)
-    if snr_db is None:
-        noise_amp = 0.02
-    else:
-        sig_rms = float(np.sqrt(np.mean(pcm**2)) + 1e-9)
-        noise_amp = sig_rms / (10.0 ** (snr_db / 20.0))
-    pcm = pcm + (rng.standard_normal(len(pcm)) * noise_amp).astype(np.float32)
-    return np.clip(pcm, -1.0, 1.0)
-
-
-def sentences(rng: np.random.Generator, n: int, max_chars: int = 58):
-    out = []
-    seen = set()
-    while len(out) < n:
-        k = int(rng.integers(2, 8))
-        words = [WORDS[int(rng.integers(len(WORDS)))] for _ in range(k)]
-        s = " ".join(words)[:max_chars].strip()
-        if s not in seen:
-            seen.add(s)
-            out.append(s)
-    return out
+from libreasr_tpu.data.synth import (  # noqa: E402 — synthesis core lives in the package
+    CHAR_MS, RAMP_MS, SR, WORDS, char_freq, render, sentences, speaker_params,
+)
 
 
 def write_split(root: str, split: str, texts, rng, speakers, clean=False):

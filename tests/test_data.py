@@ -246,3 +246,33 @@ def test_batcher_leftovers_power_of_two(rng):
     bb = BucketBatcher([bucket], shuffle=False, drop_last=True)
     sizes = [b.audio.shape[0] for b in bb.batches(iter(items))]
     assert sizes == [16]
+
+
+def test_int16_transfer_codec_lossless(rng):
+    """int16 training transfer (batching.py transfer_dtype): the host
+    quantization is the exact inverse of the device decode in
+    features_batch, so 16-bit-sourced audio round-trips bit-for-bit and
+    the frontend features are identical to the float32 path."""
+    import jax.numpy as jnp
+
+    from libreasr_tpu.ops.frontend import FrontendConfig, features_batch
+
+    # pcm as decoded from an int16 wav: v / 32768
+    v = rng.integers(-32768, 32768, size=4000, dtype=np.int64)
+    pcm = (v / 32768.0).astype(np.float32)
+    bucket = Bucket(max_samples=4096, max_tokens=8, bs=2)
+    items = [{"audio": pcm, "ids": [1, 2]} for _ in range(2)]
+    b16 = next(iter(BucketBatcher(
+        [bucket], shuffle=False, transfer_dtype="int16").batches(iter(items))))
+    bf = next(iter(BucketBatcher(
+        [bucket], shuffle=False).batches(iter(items))))
+    assert b16.audio.dtype == np.int16
+    np.testing.assert_array_equal(
+        b16.audio[:, :4000].astype(np.int64), v[None].repeat(2, 0))
+    cfg = FrontendConfig()
+    f16, l16 = features_batch(jnp.asarray(b16.audio),
+                              jnp.asarray(b16.audio_len), cfg)
+    ff, lf = features_batch(jnp.asarray(bf.audio),
+                            jnp.asarray(bf.audio_len), cfg)
+    np.testing.assert_array_equal(np.asarray(l16), np.asarray(lf))
+    np.testing.assert_array_equal(np.asarray(f16), np.asarray(ff))

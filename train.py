@@ -190,7 +190,10 @@ def main(argv=None):
     step = start_step
     metrics = {"loss": float("nan")}
     t0 = time.time()
-    eval_every = None  # persists across epochs (sized on the first one)
+    # an explicit cadence skips the first-epoch materialization below
+    # (streamed datasets have large generated epochs; list() would hold
+    # a whole epoch of audio on the host just to count batches)
+    eval_every = args.eval_every if args.eval_every > 0 else None
 
     # multi-host: every process iterates the same deterministic loader
     # and contributes its row slice of each global batch; in-training
