@@ -166,18 +166,136 @@ LABELERS = {
 }
 
 
-def create_dataset(path: str, fmt: str, workers: int = 4, out: str | None = None):
-    label_map = LABELERS[fmt](path)
+COLUMNS = ["file", "xstart", "xlen", "label", "ylen", "sr", "bad"]
+
+# process-pool worker state: the label map is built once per worker
+# (initializer) instead of pickled with every task
+_W: dict = {}
+
+
+def _pool_init(path: str, fmt: str):
+    _W["fmt"] = fmt
+    _W["labels"] = LABELERS[fmt](path)
+
+
+def _pool_rows(file: str):
+    return rows_for_file(file, _W["fmt"], _W["labels"])
+
+
+def _restore_partial(partial: str, files: list[str]) -> tuple[list, int]:
+    """Crash-resume (reference create-asr-dataset.py:137-141,331-347):
+    read the interrupted run's partial CSV and return (rows, resume_idx)
+    — rows for files [0, resume_idx) in order, the rest reprocessed.
+
+    The LAST file's rows are always dropped and reprocessed: a kill can
+    truncate the final line mid-write, and multi-row formats (yt) can be
+    split across a flush boundary. Everything before it is trusted, so
+    the final CSV is byte-identical to an uninterrupted run."""
+    try:
+        # a kill can tear the final line mid-write; drop anything after
+        # the last newline BEFORE parsing, or the malformed tail NaN-
+        # fills a column and floats the int dtypes (the restored CSV
+        # would no longer be byte-identical to an uninterrupted run)
+        import io
+
+        text = open(partial, "r", errors="replace").read()
+        text = text[: text.rfind("\n") + 1]
+        df = pd.read_csv(io.StringIO(text), on_bad_lines="skip")
+    except Exception:
+        return [], 0
+    if df.empty or list(df.columns) != COLUMNS:
+        return [], 0
+    done = list(dict.fromkeys(df["file"].astype(str)))  # unique, in order
+    order = {f: i for i, f in enumerate(files)}
+    # trust only a prefix of the deterministic file order
+    prefix = 0
+    for f in done:
+        if order.get(f) == prefix:
+            prefix += 1
+        else:
+            break
+    prefix = max(prefix - 1, 0)  # drop the last (possibly torn) file
+    keep = set(files[:prefix])
+    rows = df[df["file"].isin(keep)].to_dict("records")
+    return rows, prefix
+
+
+def create_dataset(path: str, fmt: str, workers: int = 4,
+                   out: str | None = None, pool: str = "process",
+                   flush_every: int = 64):
+    """Corpus dir -> asr-dataset.csv with crash-resume: rows append to
+    `<out>.partial` every `flush_every` files, an interrupted run
+    restores from it (same final bytes), and the finished CSV is an
+    atomic rename. Probing is native-code CPU work, so the default pool
+    is processes (reference create-asr-dataset.py:304-310); pass
+    pool="thread" to stay in-process (tests, tiny corpora)."""
     files = list(audio_files(path))
-    rows = []
-    with cf.ThreadPoolExecutor(workers) as ex:
-        for rs in ex.map(lambda f: rows_for_file(f, fmt, label_map), files):
-            rows.extend(rs)
-    df = pd.DataFrame(
-        rows, columns=["file", "xstart", "xlen", "label", "ylen", "sr", "bad"]
-    )
     out = out or os.path.join(path, "asr-dataset.csv")
+    partial = out + ".partial"
+
+    rows: list = []
+    start = 0
+    if os.path.exists(partial):
+        rows, start = _restore_partial(partial, files)
+        if start:
+            print(f"resuming: {start}/{len(files)} files restored "
+                  f"from {partial}")
+
+    header_needed = True
+    if rows:
+        pd.DataFrame(rows, columns=COLUMNS).to_csv(partial, index=False)
+        header_needed = False
+    elif os.path.exists(partial):
+        os.remove(partial)  # nothing trustworthy in it
+
+    todo = files[start:]
+    buf: list = []
+
+    def flush():
+        nonlocal header_needed
+        if not buf:
+            return
+        pd.DataFrame(buf, columns=COLUMNS).to_csv(
+            partial, index=False, mode="a", header=header_needed
+        )
+        header_needed = False
+        rows.extend(buf)
+        buf.clear()
+
+    if pool == "process" and todo:
+        # spawn, not fork: the caller may hold a live JAX/XLA runtime
+        # whose threads make fork() unsafe. Workers import the package
+        # fresh (a one-time ~1s each) and build the label map once via
+        # the initializer instead of pickling it per task.
+        import multiprocessing as mp
+
+        ex = cf.ProcessPoolExecutor(
+            workers, mp_context=mp.get_context("spawn"),
+            initializer=_pool_init, initargs=(path, fmt),
+        )
+        mapped = ex.map(_pool_rows, todo, chunksize=16)
+    elif todo:
+        label_map = LABELERS[fmt](path)
+        ex = cf.ThreadPoolExecutor(workers)
+        mapped = ex.map(lambda f: rows_for_file(f, fmt, label_map), todo)
+    else:
+        ex, mapped = None, []
+    try:
+        done_files = 0
+        for rs in mapped:  # ex.map preserves submission order
+            buf.extend(rs)
+            done_files += 1
+            if done_files % flush_every == 0:
+                flush()
+        flush()
+    finally:
+        if ex is not None:
+            ex.shutdown()
+
+    df = pd.DataFrame(rows, columns=COLUMNS)
     df.to_csv(out, index=False)
+    if os.path.exists(partial):
+        os.remove(partial)
     print(f"wrote {len(df)} rows ({int(df['bad'].sum())} bad) -> {out}")
     return df
 
@@ -188,8 +306,10 @@ def main(argv=None):
     p.add_argument("--format", required=True, choices=sorted(LABELERS))
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--out")
+    p.add_argument("--pool", choices=("process", "thread"),
+                   default="process")
     a = p.parse_args(argv)
-    create_dataset(a.path, a.format, a.workers, a.out)
+    create_dataset(a.path, a.format, a.workers, a.out, pool=a.pool)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,18 @@ import jax.numpy as jnp
 
 from ..ops import rnn as rnn_ops
 
+_WARNED: set = set()
+
+
+def _warn_once(key: str, msg: str) -> None:
+    """Perf-visibility warnings (printed once per process): silent
+    fast-path fallbacks cost 1.3-2x train time without a trace."""
+    if key not in _WARNED:
+        _WARNED.add(key)
+        import sys
+
+        print(f"[libreasr_tpu] {msg}", file=sys.stderr)
+
 
 class ResidualAdapter(nn.Module):
     """Multilingual residual adapter (reference ResidualAdapter,
@@ -100,7 +112,21 @@ class RNNLayer(nn.Module):
             return False
         if self.rnn_type != "LSTM" or self.length_mode != "pack":
             return False
-        if self.zoneout != 0.0 or self.dropconnect != 0.0:
+        # DropConnect is compatible: the mask multiplies R ONCE per call
+        # (haste semantics, ops/rnn.py:_drop_connect) outside the
+        # custom-VJP core, so gradients flow through it as plain XLA.
+        # Zoneout mixes state per TIMESTEP inside the recurrence — that
+        # needs kernel support; fall back to the scan path and say so
+        # loudly once (r4 verdict #8: a silent 1.3-2x train-time cost).
+        if self.zoneout != 0.0:
+            _warn_once(
+                "pallas-train-zoneout",
+                f"RNNLayer(hidden={self.hidden_sz}): zoneout="
+                f"{self.zoneout} is not supported by the fused Pallas "
+                "training kernel; using the (1.3-2x slower) scan path. "
+                "DropConnect IS fused-path compatible — consider "
+                "dropconnect for recurrent regularization.",
+            )
             return False
         if x.shape[1] < 16:
             return False
@@ -157,8 +183,20 @@ class RNNLayer(nn.Module):
         if self._pallas_train_eligible(cell_params, x, train):
             from ..ops.pallas.lstm import lstm_pack_train_pallas
 
+            cp = cell_params
+            if train and self.dropconnect > 0 and rng is not None:
+                # same mask stream as the scan path (fold_in(rng, 1)) so
+                # the two paths are numerically identical under one rng;
+                # the masked R is differentiable plain XLA outside the
+                # kernel's custom VJP
+                cp = cp._replace(
+                    recurrent_kernel=rnn_ops._drop_connect(
+                        cp.recurrent_kernel,
+                        jax.random.fold_in(rng, 1), self.dropconnect,
+                    )
+                )
             return lstm_pack_train_pallas(
-                x, tuple(state), cell_params, lengths,
+                x, tuple(state), cp, lengths,
                 compute_dtype=self.compute_dtype,
                 interpret=jax.default_backend() != "tpu",
             )
@@ -321,6 +359,7 @@ class Encoder(nn.Module):
     layer_norm: bool = False
     norm: str = "batch"  # inter-layer norm: "batch" | "layer" | "none"
     zoneout: float = 0.0
+    dropconnect: float = 0.0
     reduction_indices: tuple = ()
     reduction_factors: tuple = ()
     compute_dtype: Any = None
@@ -339,6 +378,7 @@ class Encoder(nn.Module):
             layer_norm=self.layer_norm,
             norm=self.norm,
             zoneout=self.zoneout,
+            dropconnect=self.dropconnect,
             reduction_indices=self.reduction_indices,
             reduction_factors=self.reduction_factors,
             compute_dtype=self.compute_dtype,
@@ -371,6 +411,7 @@ class Predictor(nn.Module):
     layer_norm: bool = False
     norm: str = "batch"  # inter-layer norm: "batch" | "layer" | "none"
     zoneout: float = 0.0
+    dropconnect: float = 0.0
     compute_dtype: Any = None
 
     @nn.compact
@@ -387,6 +428,7 @@ class Predictor(nn.Module):
             layer_norm=self.layer_norm,
             norm=self.norm,
             zoneout=self.zoneout,
+            dropconnect=self.dropconnect,
             compute_dtype=self.compute_dtype,
             length_mode="haste" if self.rnn_type == "NBRC" else "pack",
             name="rnn_stack",

@@ -55,6 +55,9 @@ class TransducerConfig:
     pred_layer_norm: bool = False
     pred_norm: str = "batch"
     zoneout: float = 0.0
+    # DropConnect on the recurrent matrices (haste's `dropout` arg,
+    # reference layers/haste/lstm.py:60-66); fused-Pallas compatible
+    dropconnect: float = 0.0
     compute_dtype: Any = None
     # cross-batch state carry probabilities (reference use_tmp_state_pcent
     # / use_tmp_bos_pcent)
@@ -91,6 +94,8 @@ class TransducerConfig:
             pred_rnn_type=pred["rnn_type"],
             pred_layer_norm=pred.get("layer_norm", False),
             pred_norm=pred.get("norm", "batch"),
+            zoneout=m.get("zoneout", enc.get("zoneout", 0.0)),
+            dropconnect=m.get("dropconnect", enc.get("dropconnect", 0.0)),
             use_tmp_state_pcent=enc.get("use_tmp_state_pcent", 0.99),
             use_tmp_bos=m.get("use_tmp_bos", False),
             use_tmp_bos_pcent=m.get("use_tmp_bos_pcent", 0.2),
@@ -120,6 +125,7 @@ class Transducer(nn.Module):
             layer_norm=c.enc_layer_norm,
             norm=c.enc_norm,
             zoneout=c.zoneout,
+            dropconnect=c.dropconnect,
             reduction_indices=c.enc_reduction_indices,
             reduction_factors=c.enc_reduction_factors,
             compute_dtype=c.compute_dtype,
@@ -138,6 +144,7 @@ class Transducer(nn.Module):
             layer_norm=c.pred_layer_norm,
             norm=c.pred_norm,
             zoneout=c.zoneout,
+            dropconnect=c.dropconnect,
             compute_dtype=c.compute_dtype,
         )
         self.joint = Joint(

@@ -46,10 +46,22 @@ def main(argv=None):
     p.add_argument("--num-workers", type=int, default=6)
     p.add_argument("--ckpt-every-s", type=float, default=600.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--bs-max", type=int, default=16,
+                   help="bucket batch-size cap (the tunneled chip in "
+                        "this environment rejects >16-utt float32 "
+                        "uploads; int16 transfer may admit 32)")
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="dotted config override (YAML value; repeatable)")
     p.add_argument("--skip-final-eval", action="store_true")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. cpu) — env vars "
+                        "alone cannot override a pinned hardware plugin")
     a = p.parse_args(argv)
+
+    if a.platform:
+        import jax
+
+        jax.config.update("jax_platforms", a.platform)
 
     import numpy as np
     import yaml
@@ -127,7 +139,17 @@ def main(argv=None):
         data_axis = max(data_axis // conf["mesh"]["model"], 1)
     buckets = buckets_from_histogram(
         xl, yl, sr=conf.get("sr", 16000), n_buckets=3, data_axis=data_axis,
+        bs_max=a.bs_max,
     )
+    # under drop_last a bucket larger than the epoch's share never
+    # fills — the loader would yield zero batches forever
+    per_epoch = int(a.hours_per_epoch * 3600 / 1.6)
+    need = sum(b.bs for b in buckets) * 2
+    if per_epoch < need:
+        raise SystemExit(
+            f"[tone-stream] --hours-per-epoch {a.hours_per_epoch} gives "
+            f"~{per_epoch} utts/epoch but the bucket ladder needs "
+            f">={need} to fill reliably under drop_last; raise it")
     print("[tone-stream] bucket ladder:")
     for b in buckets:
         print(f"  max {b.max_samples / conf.get('sr', 16000):5.1f} s  "
@@ -156,6 +178,8 @@ def main(argv=None):
         "--ckpt-every-s", str(a.ckpt_every_s),
         "--steps", str(a.steps),
     ]
+    if a.platform:
+        args += ["--platform", a.platform]
     for attempt in range(a.retries):
         try:
             train_main(args)

@@ -276,3 +276,43 @@ def test_int16_transfer_codec_lossless(rng):
                             jnp.asarray(bf.audio_len), cfg)
     np.testing.assert_array_equal(np.asarray(l16), np.asarray(lf))
     np.testing.assert_array_equal(np.asarray(f16), np.asarray(ff))
+
+
+def test_create_dataset_crash_resume(corpus, tmp_path):
+    """Incremental save/restore (reference create-asr-dataset.py:
+    137-141,331-347): a run interrupted mid-corpus restores from the
+    partial CSV and the final file is byte-identical to an
+    uninterrupted run — including a torn final line."""
+    full_out = str(tmp_path / "full.csv")
+    create_dataset(corpus, "librispeech", workers=2, out=full_out,
+                   pool="thread", flush_every=4)
+    want = open(full_out, "rb").read()
+
+    # simulate a kill after ~half the corpus, with the last line torn
+    resumed_out = str(tmp_path / "resumed.csv")
+    partial = resumed_out + ".partial"
+    lines = open(full_out).read().splitlines(keepends=True)
+    torn = lines[: 1 + 7] + [lines[8][: len(lines[8]) // 2]]
+    open(partial, "w").write("".join(torn))
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        create_dataset(corpus, "librispeech", workers=2, out=resumed_out,
+                       pool="thread", flush_every=4)
+    assert "resuming:" in buf.getvalue()
+    got = open(resumed_out, "rb").read()
+    assert got == want
+    assert not os.path.exists(partial)  # cleaned up on success
+
+
+def test_create_dataset_process_pool(corpus, tmp_path):
+    """The default process pool (reference :304-310) produces the same
+    CSV as the thread pool."""
+    a = str(tmp_path / "proc.csv")
+    b = str(tmp_path / "thr.csv")
+    create_dataset(corpus, "librispeech", workers=2, out=a, pool="process")
+    create_dataset(corpus, "librispeech", workers=2, out=b, pool="thread")
+    assert open(a, "rb").read() == open(b, "rb").read()

@@ -340,3 +340,63 @@ def test_train_policy_r_dtype(monkeypatch):
         x, st, params, None, compute_dtype=jnp.bfloat16, interpret=True
     )
     assert seen["r_dtype"] == jnp.bfloat16
+
+
+def test_train_dropconnect_parity_forced(rng, monkeypatch):
+    """DropConnect in the fused train path (r4 verdict #8): the mask
+    multiplies R once per call OUTSIDE the custom-VJP core, from the
+    same rng stream as the scan path — outputs and gradients must be
+    identical between the two paths under one dropout key."""
+    from libreasr_tpu.models.modules import Encoder
+
+    monkeypatch.setenv("LIBREASR_FORCE_PALLAS", "1")
+    n, t, f, h = 2, 20, 12, 8
+    x = jnp.asarray(rng.standard_normal((n, t, f)).astype(np.float32))
+    lengths = jnp.asarray([20, 11])
+
+    def grads(use_pallas_train):
+        enc = Encoder(
+            feature_sz=f, hidden_sz=h, out_sz=h, num_layers=2,
+            dropout=0.0, rnn_type="LSTM", dropconnect=0.5,
+            use_pallas_train=use_pallas_train,
+        )
+        vars_ = enc.init(jax.random.PRNGKey(0), x, lengths=lengths)
+
+        def loss(v):
+            (y, _), _ = enc.apply(
+                v, x, lengths=lengths, train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(y**2)
+
+        return jax.grad(loss)(vars_)
+
+    g_p = grads(True)
+    g_s = grads(False)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_zoneout_falls_back_loudly(monkeypatch, capsys):
+    """Zoneout keeps the scan path (per-timestep state mixing needs
+    kernel support) and says so ONCE — the silent 1.3-2x fallback was
+    r4 verdict #8."""
+    import libreasr_tpu.models.modules as M
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    M._WARNED.discard("pallas-train-zoneout")
+    params = rnn_ops.init_lstm(jax.random.PRNGKey(0), 128, 128)
+    x = jnp.zeros((2, 32, 128))
+    lz = M.RNNLayer(input_sz=128, hidden_sz=128, use_pallas_train=True,
+                    zoneout=0.1, compute_dtype=jnp.bfloat16)
+    assert not lz._pallas_train_eligible(params, x, train=True)
+    assert not lz._pallas_train_eligible(params, x, train=True)
+    err = capsys.readouterr().err
+    assert err.count("zoneout") == 1  # once, not per call
+    # dropconnect alone no longer disqualifies
+    ld = M.RNNLayer(input_sz=128, hidden_sz=128, use_pallas_train=True,
+                    dropconnect=0.3, compute_dtype=jnp.bfloat16)
+    assert ld._pallas_train_eligible(params, x, train=True)

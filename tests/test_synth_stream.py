@@ -154,3 +154,47 @@ def test_train_cli_on_stream(tmp_path):
         bundle_path, extract_to=str(tmp_path / "x"))
     text, _ = bundle.transcribe(np.zeros(16000, np.float32))
     assert isinstance(text, str)
+
+
+def test_train_cli_zero_batch_guard(tmp_path):
+    """A loader that yields nothing (drop_last bucket larger than the
+    epoch) must fail loudly, not spin through 1e9 empty epochs — found
+    live in round 5's first streamed-recipe smoke."""
+    import train as train_cli
+
+    conf = {
+        **_conf(hours_per_epoch=0.002),  # ~4 utts/epoch
+        "drop_last": True,
+        "buckets": [{"max_samples": 80000, "y_max": 64, "bs": 64}],
+        "sr": 16000,
+        "melkwargs": {"n_fft": 1024, "n_mels": 128},
+        "win_length": 0.025, "hop_length": 0.01, "deltas": 0,
+        "mesh": {"data": -1, "model": 1},
+        "dtypes": {"param": "float32", "compute": "float32"},
+        "model": {
+            "name": "Transducer",
+            "feature_sz": 1280, "embed_sz": 8, "hidden_sz": 12,
+            "out_sz": 12, "joint_sz": 12, "vocab_sz": 40,
+            "encoder": {"rnn_type": "LSTM", "num_layers": 1, "dropout": 0.0,
+                        "reduction_factor": 1, "use_tmp_state_pcent": 0.0},
+            "predictor": {"rnn_type": "NBRC", "num_layers": 1,
+                          "dropout": 0.0, "use_tmp_state_pcent": 0.0},
+            "joint": {"method": "concat", "dropout": 0.0},
+            "use_tmp_bos": False, "use_tmp_bos_pcent": 0.2,
+        },
+        "training": {"optimizer": "adam", "lr": 1e-3, "wd": 0.0,
+                     "epochs": 1, "warmup_pct": 0.1, "grad_clip": 10.0},
+        "bs": 4, "accumulate_n_batches": 1, "seed": 3,
+        "tensorboard": False, "wandb": False, "tests_per_epoch": 1,
+        "lm": {"enable": False},
+        "loss": {"type": "rnnt"},
+    }
+    cpath = tmp_path / "conf.yaml"
+    cpath.write_text(yaml.safe_dump(conf))
+    with pytest.raises(SystemExit, match="ZERO batches"):
+        train_cli.main([
+            "--config", str(cpath), "--steps", "2",
+            "--ckpt", str(tmp_path / "ckpt"),
+            "--logdir", str(tmp_path / "runs"),
+            "--eval-every", "2",  # skips first-epoch materialization
+        ])

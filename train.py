@@ -271,7 +271,9 @@ def main(argv=None):
             # program per (K, bucket) pair); buffers persist across
             # epoch boundaries — small epochs rarely fill K within one —
             # and leftovers flush as single steps after the last epoch
+            saw_batch = False
             for batch in batches:
+                saw_batch = True
                 if chain_k <= 1:
                     run_chunk([batch])
                     continue
@@ -284,6 +286,17 @@ def main(argv=None):
                 if len(buf) >= chain_k:
                     chunk, pending[key] = buf, []
                     run_chunk(chunk)
+            if not saw_batch:
+                # also reachable when --eval-every skips the first-epoch
+                # materialization: without it a zero-yield loader (e.g.
+                # drop_last buckets larger than a streamed epoch) spins
+                # through 1e9 empty epochs instead of failing
+                raise SystemExit(
+                    "[train] the loader produced ZERO batches — check "
+                    "dataset paths, bucket ladder (max_samples/y_max/bs "
+                    "vs corpus size under drop_last), and that utterances "
+                    "survive the transform pipeline"
+                )
             if rank0:
                 loss_s = (
                     f"{float(metrics['loss']):.3f}"
