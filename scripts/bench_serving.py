@@ -96,7 +96,10 @@ class ClientStats:
 
 
 def run_client(port: int, duration_s: float, chunk_samples: int, stats: ClientStats,
-               start_barrier: threading.Barrier, seed: int):
+               start_barrier, seed: int):
+    """start_barrier: a threading.Barrier, or a float wall-clock time
+    every client (across processes) sleeps until — the multi-process
+    load driver can't share a Barrier."""
     import grpc
 
     from libreasr_tpu.serving import proto
@@ -115,7 +118,12 @@ def run_client(port: int, duration_s: float, chunk_samples: int, stats: ClientSt
     )
 
     def gen():
-        start_barrier.wait()
+        if isinstance(start_barrier, float):
+            dt = start_barrier - time.time()
+            if dt > 0:
+                time.sleep(dt)
+        else:
+            start_barrier.wait()
         t0 = time.perf_counter()
         for i in range(n_chunks):
             # real-time pacing against the global clock (no drift)
@@ -141,13 +149,52 @@ def run_client(port: int, duration_s: float, chunk_samples: int, stats: ClientSt
 
 
 # ---------------------------------------------------------------------------
+# load-worker role (one of P processes, each M threaded clients — the
+# single-process thread driver saturates its own GIL past ~128 clients
+# and measures the bench host, not the server; r4 verdict weak #3)
+# ---------------------------------------------------------------------------
+
+
+def run_load_worker(port: int, count: int, duration_s: float,
+                    start_at: float, seed_base: int):
+    stats = [ClientStats() for _ in range(count)]
+    threads = [
+        threading.Thread(
+            target=run_client,
+            args=(port, duration_s, 1280, stats[i], start_at, seed_base + i),
+        )
+        for i in range(count)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=duration_s * 3 + 120)
+    out = {
+        "lat": [x for s in stats for x in s.partial_lat],
+        "over": [s.overrun for s in stats if s.overrun is not None],
+        "texts": sum(s.n_text for s in stats),
+        "errors": [s.error for s in stats if s.error][:3],
+        "n_errors": sum(1 for s in stats if s.error),
+    }
+    print("LOAD " + json.dumps(out), flush=True)
+
+
+# ---------------------------------------------------------------------------
 # orchestrator
 # ---------------------------------------------------------------------------
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--role", default="bench", choices=["bench", "server"])
+    p.add_argument("--role", default="bench",
+                   choices=["bench", "server", "load"])
+    p.add_argument("--procs", type=int, default=0,
+                   help="client driver processes (0 = auto: one per 64 "
+                        "clients). >1 removes the driver-side GIL "
+                        "bottleneck above ~128 clients")
+    p.add_argument("--count", type=int, default=0, help="(load role)")
+    p.add_argument("--start-at", type=float, default=0.0, help="(load role)")
+    p.add_argument("--seed-base", type=int, default=0, help="(load role)")
     p.add_argument("--streams", type=int, default=64)
     p.add_argument("--duration", type=float, default=20.0)
     p.add_argument("--n-buffer", type=int, default=1)
@@ -164,6 +211,10 @@ def main():
     if a.role == "server":
         run_server(a.port, a.streams, a.n_buffer, a.beam, a.blank_bias,
                    a.bundle)
+        return
+    if a.role == "load":
+        run_load_worker(a.port, a.count, a.duration, a.start_at,
+                        a.seed_base)
         return
 
     env = dict(os.environ)
@@ -184,26 +235,61 @@ def main():
             raise RuntimeError("server died before READY")
 
         chunk_samples = 1280
-        barrier = threading.Barrier(a.streams)
-        stats = [ClientStats() for _ in range(a.streams)]
-        threads = [
-            threading.Thread(
-                target=run_client,
-                args=(a.port, a.duration, chunk_samples, stats[i], barrier, i),
-            )
-            for i in range(a.streams)
-        ]
+        procs = a.procs or max(1, -(-a.streams // 64))
         t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join(timeout=a.duration * 3 + 120)
+        if procs <= 1:
+            barrier = threading.Barrier(a.streams)
+            stats = [ClientStats() for _ in range(a.streams)]
+            threads = [
+                threading.Thread(
+                    target=run_client,
+                    args=(a.port, a.duration, chunk_samples, stats[i],
+                          barrier, i),
+                )
+                for i in range(a.streams)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=a.duration * 3 + 120)
+            errors = [s.error for s in stats if s.error]
+            n_errors = len(errors)
+            lat = np.array(sum((s.partial_lat for s in stats), []))
+            over = np.array(
+                [s.overrun for s in stats if s.overrun is not None])
+            texts = sum(s.n_text for s in stats)
+        else:
+            # multi-process fan-out: P workers x M threads, synchronized
+            # on a shared wall-clock start
+            per = -(-a.streams // procs)
+            start_at = time.time() + 5.0
+            workers = []
+            for w in range(procs):
+                cnt = min(per, a.streams - w * per)
+                if cnt <= 0:
+                    break
+                workers.append(subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--role", "load", "--port", str(a.port),
+                     "--count", str(cnt), "--duration", str(a.duration),
+                     "--start-at", repr(start_at),
+                     "--seed-base", str(w * per)],
+                    cwd=REPO, stdout=subprocess.PIPE, text=True,
+                ))
+            lat_l, over_l, errors = [], [], []
+            texts = n_errors = 0
+            for w in workers:
+                out, _ = w.communicate(timeout=a.duration * 3 + 300)
+                for line in out.splitlines():
+                    if line.startswith("LOAD "):
+                        d = json.loads(line[5:])
+                        lat_l.extend(d["lat"])
+                        over_l.extend(d["over"])
+                        texts += d["texts"]
+                        n_errors += d["n_errors"]
+                        errors.extend(d["errors"])
+            lat, over = np.array(lat_l), np.array(over_l)
         wall = time.perf_counter() - t0
-
-        errors = [s.error for s in stats if s.error]
-        lat = np.array(sum((s.partial_lat for s in stats), []))
-        over = np.array([s.overrun for s in stats if s.overrun is not None])
-        texts = sum(s.n_text for s in stats)
         result = {
             "metric": "wire_p50_partial_latency_ms",
             "value": round(float(np.percentile(lat, 50) * 1e3), 1) if len(lat) else None,
@@ -219,8 +305,9 @@ def main():
             "transcript_msgs": texts,
             "overrun_p50_ms": round(float(np.percentile(over, 50) * 1e3), 1) if len(over) else None,
             "overrun_p99_ms": round(float(np.percentile(over, 99) * 1e3), 1) if len(over) else None,
+            "procs": procs,
             "errors": errors[:3],
-            "n_errors": len(errors),
+            "n_errors": n_errors,
         }
         print(json.dumps(result))
     finally:

@@ -69,10 +69,21 @@ def main():
 
     rng = np.random.default_rng(0)
     n_samp = int(args.secs * conf["sr"])
+    # stage the audio on device in row chunks of <=16 (the tunneled chip
+    # rejects larger single transfers), then concatenate ON DEVICE: the
+    # program's batch argument is already device-resident, so bs 32-64
+    # measure (r4 verdict weak #7 — batch is the MFU lever and the
+    # sweep used to stop exactly where it gets interesting). int16 rows
+    # halve the upload; the device decodes (features_batch handles int).
+    rows = []
+    for lo in range(0, args.bs, 16):
+        n = min(16, args.bs - lo)
+        pcm = (rng.standard_normal((n, n_samp)) * 0.1).astype(np.float32)
+        q = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        rows.append(jax.device_put(q))
+    audio = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
     batch = Batch(
-        audio=jnp.asarray(
-            rng.standard_normal((args.bs, n_samp)).astype(np.float32) * 0.1
-        ),
+        audio=audio,
         audio_len=jnp.full((args.bs,), n_samp, jnp.int32),
         labels=jnp.asarray(
             rng.integers(4, cfg.vocab_sz, (args.bs, args.u)).astype(np.int32)
@@ -129,6 +140,21 @@ def main():
         f"fused={not args.no_fused}): {ms:.1f} ms/step "
         f"({audio_s / (ms / 1e3):.0f}x realtime, {m})"
     )
+    # roofline: the shape-aware speed-of-light for THIS step (the MXU
+    # processes 128 rows per pass, so the encoder recurrence at batch N
+    # is capped at N/128 of peak — a property of recurrence-at-small-
+    # batch, not an implementation gap) vs the HBM-traffic floor
+    r = F.train_step_ceiling(cfg, args.bs, t_frames, args.u)
+    sol_ms = r["sol_s"] * 1e3
+    print(
+        f"speed-of-light: {sol_ms:.1f} ms "
+        f"(compute {r['compute_sol_s']*1e3:.1f} "
+        f"/ bandwidth {r['bandwidth_sol_s']*1e3:.1f}) -> measured is "
+        f"{ms / sol_ms:.2f}x SoL; max achievable MFU at this shape "
+        f"= {fl / (r['sol_s'] * F.device_peak_flops()) * 100:.1f}%"
+    )
+    for k, v in r["compute_breakdown_s"].items():
+        print(f"  {k:16s} {v*1e3:7.2f} ms")
 
 
 if __name__ == "__main__":
