@@ -30,6 +30,14 @@ train-960:
 # stays vocab 2048 for flagship shape parity), and a lowered
 # cross-batch state carry so the learned h0 actually trains at this
 # step count.
+# flagship CONVERGENCE run: infinite streamed tone corpus (fresh
+# sentences every epoch, held-out speakers+sentences for dev/test) —
+# the 70 M model converges instead of memorizing (r5; dev WER < 0.1)
+train-tone-stream:
+	$(PY) scripts/train_tone_stream.py --out tmp/flagship_stream \
+	  --steps 20000 --eval-every 500 --eval-batches 6 --chain-steps 8 \
+	  --num-workers 6 --vocab-sz 64 --set training.warmup_pct=0.05
+
 train-tone-flagship:
 	$(PY) scripts/make_tone_corpus.py --out tmp/tone_corpus
 	$(PY) scripts/train_960.py --root tmp/tone_corpus --out tmp/flagship_tone \
@@ -77,4 +85,4 @@ bench:
 tensorboard:
 	tensorboard --logdir runs --port 6006 --host 0.0.0.0
 
-.PHONY: train train-lm train-960 train-tone-flagship sen sde b deploy client gen native test bench tensorboard
+.PHONY: train train-lm train-960 train-tone-flagship train-tone-stream sen sde b deploy client gen native test bench tensorboard

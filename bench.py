@@ -437,14 +437,17 @@ def main():
     trained_path = env_path
     if not trained_path:
         for cand in (
-            "tmp/flagship_tone/model.tar.gz",   # fresh local training run
+            # converged streamed-corpus run (make train-tone-stream,
+            # r5: dev WER < 0.1 on held-out speakers+sentences)
+            "tmp/flagship_stream/model.tar.gz",
+            "tmp/flagship_tone/model.tar.gz",   # fixed-corpus run (r4)
             "assets/flagship_tone_int8.tar.gz",  # committed int8 artifact
         ):
             if os.path.exists(cand):
                 trained_path = cand
                 break
         else:
-            trained_path = "tmp/flagship_tone/model.tar.gz"
+            trained_path = "tmp/flagship_stream/model.tar.gz"
     trained = os.path.exists(trained_path)
     if env_path and not trained:
         # an explicitly requested bundle must not silently degrade to

@@ -192,6 +192,51 @@ def main(argv=None):
     else:
         raise SystemExit("tone-stream: out of retries")
 
+    # --- export the BEST-dev-WER checkpoint as the primary bundle --------
+    # (train.py saves it to <ckpt>_best_wer at every improvement; the
+    # final-step params go to model_final.tar.gz for reference)
+    best_ckpt = ckpt + "_best_wer"
+    if os.path.isdir(best_ckpt):
+        import jax
+
+        from libreasr_tpu.config import open_config as _oc
+        from libreasr_tpu.models.transducer import (
+            TransducerConfig, init_transducer,
+        )
+        from libreasr_tpu.training.checkpoint import (
+            restore_train_state, save_bundle,
+        )
+        from libreasr_tpu.training.learner import TrainState
+        from libreasr_tpu.training.optimizers import build_optimizer
+
+        conf2 = _oc(gen_conf)
+        # vocab may have been widened by train.py (max of config and
+        # tokenizer); rebuild the template at the trained width
+        from libreasr_tpu.data.language import get_language as _gl
+
+        _, tok_vocab = _gl(model_file=tok_file)
+        conf2["model"]["vocab_sz"] = max(
+            conf2["model"]["vocab_sz"], tok_vocab)
+        cfg2 = TransducerConfig.from_config(conf2)
+        _, template = init_transducer(cfg2, jax.random.PRNGKey(0))
+        tx2 = build_optimizer("ranger", 1e-3)
+        st = TrainState(
+            step=jax.numpy.zeros([], jax.numpy.int32),
+            params=template["params"],
+            batch_stats=template.get("batch_stats", {}),
+            opt_state=tx2.init(template["params"]),
+        )
+        st, _ = restore_train_state(best_ckpt, st)
+        if os.path.exists(bundle_out):
+            os.replace(bundle_out, os.path.join(out, "model_final.tar.gz"))
+        save_bundle(
+            bundle_out, "en",
+            {"params": st.params, "batch_stats": st.batch_stats},
+            conf2, tokenizer_file=tok_file,
+        )
+        print(f"[tone-stream] best-dev-WER checkpoint (step "
+              f"{int(st.step)}) -> {bundle_out}")
+
     # --- final held-out TEST split (held-out speakers + sentences) -------
     if not a.skip_final_eval:
         from libreasr_tpu.api import ASRBundle
