@@ -225,7 +225,8 @@ def _cap(m_rows: int) -> float:
     return min(m_rows, MXU_ROWS) / MXU_ROWS
 
 
-def train_step_ceiling(cfg, batch: int, T: int, U: int):
+def train_step_ceiling(cfg, batch: int, T: int, U: int,
+                       peak: float | None = None, bw: float | None = None):
     """Speed-of-light time for one train step: every matmul component's
     FLOPs at the MXU-shape-capped rate it can actually achieve, plus the
     HBM-traffic floor, with the breakdown. fwd:bwd = 1:2 per component
@@ -234,9 +235,7 @@ def train_step_ceiling(cfg, batch: int, T: int, U: int):
     Returns dict with per-component seconds and the totals; the honest
     "how fast could this step ever be" number is max(compute_sol,
     bandwidth_sol) (compute and HBM traffic overlap on TPU)."""
-    import jax
-
-    peak = device_peak_flops()
+    peak = peak or device_peak_flops()
     comps = {}
 
     # encoder recurrence: per-timestep [batch, H] x [H(+I), 4H] — M=batch
@@ -255,7 +254,7 @@ def train_step_ceiling(cfg, batch: int, T: int, U: int):
     # traffic below instead of a FLOPs term
     compute_sol = sum(comps.values())
 
-    bw = device_hbm_bw()
+    bw = bw or device_hbm_bw()
     cdt = jnp_itemsize(cfg)
     nparams = _transducer_params(cfg)
     traffic = {}

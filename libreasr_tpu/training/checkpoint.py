@@ -57,6 +57,31 @@ def _to_pytree(x):
     return serialization.to_state_dict(x)
 
 
+def restore_params_only(path: str, params_template, batch_stats_template=None):
+    """Restore just params/batch_stats/step from a train-state checkpoint.
+
+    The full opt_state tree depends on exactly how the optimizer was
+    built (LR-schedule counts, MultiSteps wrappers, ...), so a target
+    built from a fresh `tx.init` can structurally mismatch a checkpoint
+    written by a differently-configured run. Bundle export only needs
+    the model variables — restore target-free and map the subtrees.
+
+    Returns (params, batch_stats_or_None, step:int).
+    """
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(os.path.abspath(path))
+    st = restored["state"]
+    params = serialization.from_state_dict(params_template, st["params"])
+    batch_stats = None
+    if batch_stats_template is not None:
+        batch_stats = serialization.from_state_dict(
+            batch_stats_template, st.get("batch_stats", {}))
+    step = int(np.asarray(st.get("step", 0)))
+    return params, batch_stats, step
+
+
 # ---------------------------------------------------------------------------
 # release bundles (tar.gz, reference model_utils.py layout)
 # ---------------------------------------------------------------------------

@@ -53,6 +53,10 @@ def main(argv=None):
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="dotted config override (YAML value; repeatable)")
     p.add_argument("--skip-final-eval", action="store_true")
+    p.add_argument("--export-only", action="store_true",
+                   help="skip training; re-export the best-dev-WER "
+                        "bundle from an existing --out tree and run "
+                        "the held-out TEST eval")
     p.add_argument("--platform", default="",
                    help="force a jax platform (e.g. cpu) — env vars "
                         "alone cannot override a pinned hardware plugin")
@@ -72,6 +76,20 @@ def main(argv=None):
 
     out = a.out
     os.makedirs(out, exist_ok=True)
+
+    if a.export_only:
+        gen_conf = os.path.join(out, "tone_stream.yaml")
+        tok_file = os.path.join(out, "tokenizer.bpe-model")
+        bundle_out = os.path.join(out, "model.tar.gz")
+        if not os.path.exists(gen_conf):
+            raise SystemExit(f"--export-only: no run config at {gen_conf}")
+        export_best_bundle(out, gen_conf, tok_file,
+                           os.path.join(out, "ckpt"), bundle_out)
+        if not a.skip_final_eval:
+            final_test_eval(out, open_config(gen_conf), bundle_out)
+        print(f"[tone-stream] done: bundle at {bundle_out}")
+        return
+
     conf = open_config(a.config)
 
     # --- tokenizer: trained on a generated text sample (never audio) ----
@@ -192,65 +210,70 @@ def main(argv=None):
     else:
         raise SystemExit("tone-stream: out of retries")
 
-    # --- export the BEST-dev-WER checkpoint as the primary bundle --------
-    # (train.py saves it to <ckpt>_best_wer at every improvement; the
-    # final-step params go to model_final.tar.gz for reference)
-    best_ckpt = ckpt + "_best_wer"
-    if os.path.isdir(best_ckpt):
-        import jax
-
-        from libreasr_tpu.config import open_config as _oc
-        from libreasr_tpu.models.transducer import (
-            TransducerConfig, init_transducer,
-        )
-        from libreasr_tpu.training.checkpoint import (
-            restore_train_state, save_bundle,
-        )
-        from libreasr_tpu.training.learner import TrainState
-        from libreasr_tpu.training.optimizers import build_optimizer
-
-        conf2 = _oc(gen_conf)
-        # vocab may have been widened by train.py (max of config and
-        # tokenizer); rebuild the template at the trained width
-        from libreasr_tpu.data.language import get_language as _gl
-
-        _, tok_vocab = _gl(model_file=tok_file)
-        conf2["model"]["vocab_sz"] = max(
-            conf2["model"]["vocab_sz"], tok_vocab)
-        cfg2 = TransducerConfig.from_config(conf2)
-        _, template = init_transducer(cfg2, jax.random.PRNGKey(0))
-        tx2 = build_optimizer("ranger", 1e-3)
-        st = TrainState(
-            step=jax.numpy.zeros([], jax.numpy.int32),
-            params=template["params"],
-            batch_stats=template.get("batch_stats", {}),
-            opt_state=tx2.init(template["params"]),
-        )
-        st, _ = restore_train_state(best_ckpt, st)
-        if os.path.exists(bundle_out):
-            os.replace(bundle_out, os.path.join(out, "model_final.tar.gz"))
-        save_bundle(
-            bundle_out, "en",
-            {"params": st.params, "batch_stats": st.batch_stats},
-            conf2, tokenizer_file=tok_file,
-        )
-        print(f"[tone-stream] best-dev-WER checkpoint (step "
-              f"{int(st.step)}) -> {bundle_out}")
+    export_best_bundle(out, gen_conf, tok_file, ckpt, bundle_out)
 
     # --- final held-out TEST split (held-out speakers + sentences) -------
     if not a.skip_final_eval:
-        from libreasr_tpu.api import ASRBundle
-        from libreasr_tpu.training.evaluate import evaluate
-
-        bundle = ASRBundle.from_bundle(
-            bundle_out, extract_to=os.path.join(out, "bundle_x"))
-        test_ds = ToneStreamDataset.from_config(conf, bundle.lang, "test")
-        res = evaluate(bundle, iter(test_ds), keep_samples=5)
-        print(f"[tone-stream] TEST (held-out speakers+sentences): "
-              f"wer={res.wer:.3f} cer={res.cer:.3f} n={res.n}")
-        for s in res.samples:
-            print(f"  pred={s['pred']!r} target={s['target']!r}")
+        final_test_eval(out, conf, bundle_out)
     print(f"[tone-stream] done: bundle at {bundle_out}")
+
+
+def export_best_bundle(out, gen_conf, tok_file, ckpt, bundle_out):
+    """Re-export the BEST-dev-WER checkpoint as the primary bundle.
+
+    train.py saves it to <ckpt>_best_wer at every improvement; the
+    final-step params go to model_final.tar.gz for reference. Restores
+    params-only: the checkpoint's opt_state tree depends on the run's
+    schedule/accumulation wrappers and is irrelevant for a bundle.
+    """
+    best_ckpt = ckpt + "_best_wer"
+    if not os.path.isdir(best_ckpt):
+        return
+    import jax
+
+    from libreasr_tpu.config import open_config as _oc
+    from libreasr_tpu.data.language import get_language as _gl
+    from libreasr_tpu.models.transducer import (
+        TransducerConfig, init_transducer,
+    )
+    from libreasr_tpu.training.checkpoint import (
+        restore_params_only, save_bundle,
+    )
+
+    conf2 = _oc(gen_conf)
+    # vocab may have been widened by train.py (max of config and
+    # tokenizer); rebuild the template at the trained width
+    _, tok_vocab = _gl(model_file=tok_file)
+    conf2["model"]["vocab_sz"] = max(conf2["model"]["vocab_sz"], tok_vocab)
+    cfg2 = TransducerConfig.from_config(conf2)
+    _, template = init_transducer(cfg2, jax.random.PRNGKey(0))
+    params, batch_stats, step = restore_params_only(
+        best_ckpt, template["params"], template.get("batch_stats", {}))
+    if os.path.exists(bundle_out):
+        os.replace(bundle_out, os.path.join(out, "model_final.tar.gz"))
+    save_bundle(
+        bundle_out, "en",
+        {"params": params, "batch_stats": batch_stats},
+        conf2, tokenizer_file=tok_file,
+    )
+    print(f"[tone-stream] best-dev-WER checkpoint (step {step}) "
+          f"-> {bundle_out}")
+
+
+def final_test_eval(out, conf, bundle_out):
+    from libreasr_tpu.api import ASRBundle
+    from libreasr_tpu.data.synth import ToneStreamDataset
+    from libreasr_tpu.training.evaluate import evaluate
+
+    bundle = ASRBundle.from_bundle(
+        bundle_out, extract_to=os.path.join(out, "bundle_x"))
+    test_ds = ToneStreamDataset.from_config(conf, bundle.lang, "test")
+    res = evaluate(bundle, iter(test_ds), keep_samples=5)
+    print(f"[tone-stream] TEST (held-out speakers+sentences): "
+          f"wer={res.wer:.3f} cer={res.cer:.3f} n={res.n}")
+    for s in res.samples:
+        print(f"  pred={s['pred']!r} target={s['target']!r}")
+    return res
 
 
 if __name__ == "__main__":

@@ -136,6 +136,48 @@ def test_bundle_roundtrip(tiny_conf, tmp_path):
     assert conf2["model"]["hidden_sz"] == conf["model"]["hidden_sz"]
 
 
+def test_restore_params_only_across_optimizer_trees(tiny_conf, tmp_path):
+    """Bundle export restores a checkpoint written by a run whose
+    optimizer tree (schedule counts, MultiSteps wrappers) differs from
+    any fresh template — params-only restore must not care (the r5
+    flagship best-WER export crashed exactly here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libreasr_tpu.config import open_config
+    from libreasr_tpu.models.transducer import TransducerConfig, init_transducer
+    from libreasr_tpu.training.checkpoint import (
+        restore_params_only, save_train_state,
+    )
+    from libreasr_tpu.training.learner import TrainState
+    from libreasr_tpu.training.optimizers import build_optimizer, make_lr_schedule
+
+    conf = open_config(tiny_conf)
+    cfg = TransducerConfig.from_config(conf)
+    _, variables = init_transducer(cfg, jax.random.PRNGKey(7))
+    # the writing run: schedule-wrapped ranger + grad accumulation
+    tx = build_optimizer(
+        "ranger", make_lr_schedule({"lr": 1e-3, "total_steps": 10}),
+        accumulate=2)
+    state = TrainState(
+        step=jnp.asarray(12, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    ckpt = str(tmp_path / "ckpt_best")
+    save_train_state(ckpt, state)
+
+    # the exporting run: fresh template, NO optimizer state at all
+    _, template = init_transducer(cfg, jax.random.PRNGKey(0))
+    params, batch_stats, step = restore_params_only(
+        ckpt, template["params"], template.get("batch_stats", {}))
+    assert step == 12
+    a = np.asarray(variables["params"]["joint"]["out"]["kernel"])
+    b = np.asarray(params["joint"]["out"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_metrics():
     from libreasr_tpu.training.metrics import cer, wer
 
