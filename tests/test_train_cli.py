@@ -2,6 +2,7 @@
 train.py main() for a few steps -> checkpoint resume -> bundle export ->
 reload bundle and transcribe."""
 
+import json
 import os
 import sys
 import wave
@@ -176,6 +177,42 @@ def test_restore_params_only_across_optimizer_trees(tiny_conf, tmp_path):
     a = np.asarray(variables["params"]["joint"]["out"]["kernel"])
     b = np.asarray(params["joint"]["out"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_best_wer_bar_survives_resume(tmp_path, capsys):
+    """Crash-resume restores the best-WER bar from <ckpt>_best_wer.json
+    so a worse post-resume eval cannot overwrite the best checkpoint
+    (observed in the r5 flagship run: best 0.055 lost to 0.074)."""
+    from train import _restore_best_wer_bar
+
+    from libreasr_tpu.training.callbacks import TrainLogger
+
+    ckpt = str(tmp_path / "ckpt")
+    with open(ckpt + "_best_wer.json", "w") as f:
+        json.dump({"wer": 0.055, "cer": 0.03, "step": 12000}, f)
+
+    # fresh start (start_step=0): bar must stay at +inf
+    logger = TrainLogger(str(tmp_path / "runs"))
+    _restore_best_wer_bar(logger, ckpt, start_step=0)
+    assert logger.best_wer == float("inf")
+
+    # resume: bar restored, a worse eval no longer counts as improvement
+    _restore_best_wer_bar(logger, ckpt, start_step=14000)
+    assert logger.best_wer == pytest.approx(0.055)
+
+    class _R:
+        wer, cer, alignment_score, n = 0.074, 0.05, 0.75, 82
+        samples = []
+        wer_by_length = {}
+
+    assert logger.log_eval(14000, _R()) is False
+    _R.wer = 0.051
+    assert logger.log_eval(14500, _R()) is True
+
+    # missing meta file: no-op
+    logger2 = TrainLogger(str(tmp_path / "runs2"))
+    _restore_best_wer_bar(logger2, str(tmp_path / "other"), start_step=5)
+    assert logger2.best_wer == float("inf")
 
 
 def test_metrics():

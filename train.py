@@ -182,6 +182,7 @@ def main(argv=None):
     # inference bundle view for eval (shares params via variables swap)
     bundle = ASRBundle(conf, model, dict(variables), lang)
     logger = TrainLogger(args.logdir, use_wandb=conf.get("wandb", False), conf=conf)
+    _restore_best_wer_bar(logger, args.ckpt, start_step)
 
     # --steps is the stop condition when given; epoch count must not
     # truncate it first (small corpora have tiny epochs)
@@ -378,6 +379,28 @@ def _train_ctc(args, conf, lang, train_ds, valid_ds, mesh, seed):
     print(f"[train] done: step={step} wer={res['wer']:.3f} cer={res['cer']:.3f}")
 
 
+def _restore_best_wer_bar(logger, ckpt, start_step):
+    """Crash-resume must not reset the best-WER bar.
+
+    A post-resume eval that is worse than the pre-crash best would
+    otherwise overwrite the best checkpoint (r5 flagship run: best
+    0.055@12k lost to a 0.074@14k "improvement" after a resume).
+    _run_eval writes <ckpt>_best_wer.json alongside the checkpoint.
+    """
+    if not (start_step and ckpt):
+        return
+    best_meta = os.path.abspath(ckpt) + "_best_wer.json"
+    if not os.path.exists(best_meta):
+        return
+    import json as _json
+
+    with open(best_meta) as f:
+        prev = _json.load(f)
+    logger.best_wer = float(prev.get("wer", float("inf")))
+    print(f"[train] best-WER bar restored: {logger.best_wer:.3f} "
+          f"(step {prev.get('step')})")
+
+
 def _run_eval(bundle, learner, valid_ds, logger, step, max_batches, ckpt):
     from libreasr_tpu.training.checkpoint import save_train_state
     from libreasr_tpu.training.evaluate import evaluate
@@ -395,7 +418,12 @@ def _run_eval(bundle, learner, valid_ds, logger, step, max_batches, ckpt):
         + (" *best*" if improved else "")
     )
     if improved:
+        import json as _json
+
         save_train_state(os.path.abspath(ckpt) + "_best_wer", learner.state)
+        with open(os.path.abspath(ckpt) + "_best_wer.json", "w") as f:
+            _json.dump({"wer": result.wer, "cer": result.cer,
+                        "step": step}, f)
     return result
 
 
