@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--no-fused", action="store_true",
                     help="lattice loss instead of fused joint+loss")
+    ap.add_argument("--t-chunk", type=int, default=16,
+                    help="fused-loss time-chunk (joint-head matmul M "
+                         "rows = bs * t_chunk; larger chunks raise MXU "
+                         "row occupancy at larger VMEM footprint)")
     args = ap.parse_args()
 
     from libreasr_tpu.config import open_config
@@ -55,7 +59,7 @@ def main():
     cfg = TransducerConfig.from_config(conf)
     model, variables = init_transducer(cfg, jax.random.PRNGKey(0))
     frontend = FrontendConfig.from_config(conf)
-    loss_cfg = LossConfig(fused=not args.no_fused, t_chunk=16)
+    loss_cfg = LossConfig(fused=not args.no_fused, t_chunk=args.t_chunk)
     tx = build_optimizer("ranger", 5e-4, weight_decay=0.01, grad_clip=10.0)
     step = make_train_step(model, tx, frontend, loss_cfg)
 
